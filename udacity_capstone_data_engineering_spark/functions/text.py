@@ -1,0 +1,100 @@
+"""Text-analysis functions for training-data pipelines.
+
+All JVM-side builtins (split/regexp/transform/aggregate) — the hot path
+stays in whole-stage codegen and shuffles only aggregated values, never
+raw token arrays, when used through the operators in
+``operators/dedup.py``. Tokenization is deliberately minimal and
+engine-portable: trim, split on whitespace runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from udacity_capstone_data_engineering_spark.functions.hashing import portable_hash64
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Chosen from each language's most frequent function words.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "se", "del", "las"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "une"],
+    "de": ["der", "die", "und", "das", "von", "zu", "den", "mit", "ist", "des"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens of trimmed text (empty-safe)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(c))
+    )
+
+
+def char_shingles(text: Column | str, k: int = 5) -> Column:
+    """Distinct character k-grams (shingles) of the text — the MinHash
+    input representation. Uses sequence+transform, no UDF."""
+    c = F.col(text) if isinstance(text, str) else text
+    t = F.trim(c)
+    n = F.length(t) - F.lit(k - 1)
+    # sequence(1, 0) counts DOWN in Spark — guard the short-text case.
+    return F.when(n < 1, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n), lambda i: t.substr(i, F.lit(k)))
+        )
+    )
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    c = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(c, r"[A-Za-z0-9\s]", "")
+    return F.round(F.length(stripped) / F.greatest(F.length(c), F.lit(1)), 6)
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang``."""
+    toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.round(hits / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite quality heuristic in [0, 1]: rewards reasonable length,
+    penalizes punctuation soup. Deterministic and oracle-expressible."""
+    c = F.col(text) if isinstance(text, str) else text
+    len_score = F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
+    return F.round(len_score * (F.lit(1.0) - punct_ratio(c)), 6)
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID: the language whose stopword list has the
+    most token hits; 'und' when nothing matches. Pure CASE/array ops."""
+    toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    scores = []
+    for lang, words in STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        scores.append(
+            (lang, F.size(F.filter(toks, lambda t: F.array_contains(sw, t))))
+        )
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    # Left-to-right argmax with strict > keeps ties deterministic
+    # (first language in STOPWORDS order wins).
+    for lang, score in scores:
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint(text: Column | str) -> Column:
+    """60-bit engine-portable document fingerprint (exact-dup key)."""
+    return portable_hash64(text)

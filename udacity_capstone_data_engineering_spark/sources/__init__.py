@@ -1,0 +1,19 @@
+"""Sources & sinks: parquet/CSV/in-memory readers, parquet writer."""
+
+from udacity_capstone_data_engineering_spark.sources.catalog import TABLES, load_table, load_tables
+from udacity_capstone_data_engineering_spark.sources.readers import (
+    read_csv,
+    read_parquet,
+    table_from_rows,
+)
+from udacity_capstone_data_engineering_spark.sources.sinks import write_parquet
+
+__all__ = [
+    "TABLES",
+    "load_table",
+    "load_tables",
+    "read_csv",
+    "read_parquet",
+    "table_from_rows",
+    "write_parquet",
+]

@@ -1,0 +1,55 @@
+"""Test-data catalog: the driver's TPC-H-ish tables plus documents/embeddings.
+
+Mirrors the reference's serving entry ``read_data`` (reference
+``etl.py:316-334``: six ``spark.read.parquet`` calls returning DataFrames),
+generalized to a path-parameterized catalog. Scans stay lazy; Catalyst
+prunes columns/partitions from whatever the caller selects downstream.
+"""
+
+from __future__ import annotations
+
+import posixpath
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan of one catalog table.
+
+    ``events`` is written with nanosecond timestamps, which Spark's
+    vectorized parquet reader rejects by default — read them as raw
+    nanos-since-epoch longs (``nanosAsLong``); use
+    :func:`event_timestamp` to get a (microsecond) TimestampType view.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(posixpath.join(sf_dir, f"{name}.parquet"))
+
+
+def event_timestamp(col="ts"):
+    """Nanos-since-epoch long → TimestampType (truncated to micros)."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_micros((c / 1000).cast("long"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load several tables at once; defaults to the full catalog."""
+    use = names or TABLES
+    return {n: load_table(spark, sf_dir, n) for n in use}

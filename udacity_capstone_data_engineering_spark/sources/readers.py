@@ -1,0 +1,49 @@
+"""Generic readers: parquet, CSV (all the reference's spellings), in-memory.
+
+Covers SURVEY.md §2.1 S1-S7:
+  - S1  parquet scan                      (reference ``etl.py:154`` etc.)
+  - S2  CSV custom delimiter + header     (``etl.py:113``)
+  - S3  CSV header-only all-string        (``etl.py:206``)
+  - S4  CSV via format().options().load() (``etl.py:216``) — same engine path
+  - S7  in-memory rows + explicit schema  (``etl.py:48-53, 80-85``)
+
+Unlike the reference we prefer explicit schemas over ``inferSchema`` (an
+extra full scan of the file and nondeterministic typing at scale), and we
+never leave numerics as strings (reference read temperatures all-string
+and leaned on implicit coercion inside ``avg``, ``etl.py:206-209``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    sep: str = ",",
+    header: bool = True,
+    infer_schema: bool = False,
+) -> DataFrame:
+    """CSV reader covering S2/S3/S4/S5 spellings with one code path."""
+    reader = spark.read.option("header", header).option("sep", sep)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer_schema:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def table_from_rows(
+    spark: SparkSession, rows: Iterable[tuple], schema: StructType | str
+) -> DataFrame:
+    """In-memory dimension table from literal rows + explicit schema (S7)."""
+    return spark.createDataFrame(list(rows), schema=schema)

@@ -1,0 +1,36 @@
+"""Sinks: parquet writer with overwrite + partitioning (SURVEY.md §2.1 S8).
+
+The reference wrote every table as flat snappy parquet with
+``mode('overwrite')`` (``etl.py:56,87,130,180,225,264``) and proposed
+month-partitioning for 100x scale (notebook cell 45) without implementing
+it. Here partitioning is first-class: at 100 TB the fact table MUST be
+partitioned on its pruning key (date/month) so downstream scans prune
+partitions instead of listing the world. Also fixes the reference's
+Windows-only ``"\\table.parquet"`` path joins (``etl.py:180,225,264``)
+by using posix joins everywhere.
+"""
+
+from __future__ import annotations
+
+import posixpath
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    base_path: str,
+    name: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> str:
+    """Write ``df`` as parquet under ``base_path/name``; returns the path."""
+    path = posixpath.join(base_path, name)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
+    return path
