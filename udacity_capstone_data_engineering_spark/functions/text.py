@@ -51,6 +51,23 @@ def char_shingles(text: Column | str, k: int = 5) -> Column:
     )
 
 
+def word_shingles(text: Column | str, k: int = 5) -> Column:
+    """Distinct word k-grams — the MinHash input representation for
+    text dedup (word n-grams discriminate far better than character
+    shingles on natural text, and the arrays are ~k× smaller). Docs
+    with fewer than k tokens yield an empty set (cannot near-dup)."""
+    toks = tokens(text)
+    n = F.size(toks) - F.lit(k - 1)
+    return F.when(n < 1, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            )
+        )
+    )
+
+
 def punct_ratio(text: Column | str) -> Column:
     """Fraction of characters that are not alphanumeric/space."""
     c = F.col(text) if isinstance(text, str) else text

@@ -4,7 +4,7 @@ Four tiers, all engine-portable (md5-derived hashes — see
 ``functions/hashing.py``) and all expressed as DataFrame ops:
 
   - exact:    fingerprint groupBy (one shuffle on a 60-bit key).
-  - MinHash:  shingle → k seeded min-hashes → LSH banding → bucket
+  - MinHash:  word-shingle → k affine min-hashes → LSH banding → bucket
     self-join → Jaccard verify. The self-join happens only WITHIN
     buckets, never across the whole corpus: at 100 TB the candidate
     space collapses from O(n²) to O(sum of bucket² sizes).
@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from udacity_capstone_data_engineering_spark.functions.hashing import portable_hash64
-from udacity_capstone_data_engineering_spark.functions.text import char_shingles
+from udacity_capstone_data_engineering_spark.functions.text import word_shingles
 
 
 def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -40,6 +40,21 @@ def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+MERSENNE31 = 2_147_483_647  # 2^31 - 1: affine-hash modulus; products fit int64
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients for the affine MinHash family
+    h_i(x) = (a_i * x + b_i) mod (2^31-1). Engine-portable: any SQL
+    engine reproduces this with exact int64 arithmetic (a*x < 2^62)."""
+    params = []
+    for i in range(num_hashes):
+        a = (1103515245 * (i + 1) + 12345) % MERSENNE31 or 1
+        b = (2654435761 * i + 1013904223) % MERSENNE31
+        params.append((a, b))
+    return params
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -47,41 +62,60 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """Per-document MinHash signature: for seed i, min over shingles of
-    hash64(i, shingle). Entirely per-row (no shuffle); signature is an
-    array<bigint> column of length ``num_hashes``."""
-    sh = char_shingles(text_col, k=shingle_k)
-
-    def seeded(seed: int):
-        # Single-arg lambda: a 2-arg lambda would make Spark pass the
-        # array INDEX as the second argument.
-        prefix = f"{seed}:"
-        return lambda s: F.conv(
-            F.substring(F.md5(F.concat(F.lit(prefix), s)), 1, 15), 16, 10
-        ).cast("bigint")
-
-    mins = [
-        F.array_min(F.transform(sh, seeded(i))) for i in range(num_hashes)
-    ]
-    return df.select(F.col(id_col), F.array(*mins).alias("signature"))
+    """Per-document MinHash signature. Each shingle is md5-hashed ONCE
+    (the expensive part), reduced mod 2^31-1, then the ``num_hashes``
+    permutations are cheap affine maps over that base — 16x less
+    hashing than seeding md5 per permutation. Entirely per-row (no
+    shuffle); signature is an array<bigint> of length ``num_hashes``."""
+    sh = word_shingles(text_col, k=shingle_k)
+    bases = F.transform(
+        sh,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+        % F.lit(MERSENNE31),
+    )
+    params = minhash_params(num_hashes)
+    coeff_a = F.array(*[F.lit(a) for a, _ in params])
+    coeff_b = F.array(*[F.lit(b) for _, b in params])
+    # ONE traversal of the shingle array updating all k minima at once.
+    # (k separate array_min(transform(bases, ...)) calls would re-evaluate
+    # the md5 base expression k times — higher-order-function
+    # subexpressions are not CSE'd by codegen.)
+    init = F.array_repeat(F.lit(MERSENNE31).cast("bigint"), num_hashes)
+    signature = F.aggregate(
+        bases,
+        init,
+        lambda acc, x: F.zip_with(
+            acc,
+            F.zip_with(coeff_a, coeff_b, lambda a, b: (a * x + b) % F.lit(MERSENNE31)),
+            lambda m, h: F.least(m, h),
+        ),
+    )
+    # Docs with no shingles (< k tokens) must get NULL, not the sentinel
+    # init vector — identical sentinel signatures would LSH-bucket all
+    # short docs together.
+    signature = F.when(F.size(bases) > 0, signature)
+    return df.select(F.col(id_col), signature.alias("signature"))
 
 
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
     bands: int = 4,
+    num_hashes: int = 16,
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` equal slices,
     bucket documents by (band_index, slice-hash), and emit candidate
     pairs from shared buckets.
 
-    Scale design: the only shuffle is the groupBy-shaped self-join on
-    the band key; huge buckets (degenerate content) are the skew risk,
-    handled by AQE skew-join splitting and by capping with
-    ``spark.sql.autoBroadcastJoinThreshold``-independent hash join.
+    Scale design: ONE shuffle (groupBy band key), signatures computed
+    in a single pass — no self-join, so the upstream signature lineage
+    is never evaluated twice. Pairs are enumerated inside each bucket
+    with array combinatorics; degenerate buckets (boilerplate content)
+    are the skew risk — their pair count is quadratic in bucket size,
+    which is inherent to LSH; AQE splits the skewed partitions.
     """
-    n = signatures.select(F.size("signature")).first()[0]
-    rows_per_band = n // bands
+    rows_per_band = num_hashes // bands
+    signatures = signatures.filter(F.col("signature").isNotNull())
     banded = signatures.select(
         F.col(id_col),
         F.explode(
@@ -104,20 +138,26 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bkey")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col(f"a.band") == F.col(f"b.band"))
-            & (F.col(f"a.bkey") == F.col(f"b.bkey"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
+    buckets = (
+        banded.groupBy("band", "bkey")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
+    # All (i < j) pairs within a bucket, generated JVM-side.
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ids",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size("ids")),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b").distinct()
 
 
 def jaccard_pairs(
@@ -131,7 +171,7 @@ def jaccard_pairs(
     Joins the (small) pair list against per-doc shingle sets, then
     computes |∩| / |∪| with array builtins."""
     sh = df.select(
-        F.col(id_col), char_shingles(text_col, k=shingle_k).alias("sh")
+        F.col(id_col), word_shingles(text_col, k=shingle_k).alias("sh")
     )
     j = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")

@@ -133,8 +133,9 @@ def _dec_avg_sql(col: str, alias: str) -> str:
 
 
 _SHINGLES_SQL = (
-    "list_distinct([substr(trim(text), i, 5)"
-    " for i in range(1, greatest(len(trim(text)) - 4, 0) + 1)])"
+    "list_distinct([array_to_string("
+    "(regexp_split_to_array(trim(text), '\\s+'))[i:i+4], ' ')"
+    " for i in range(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 4, 0) + 1)])"
 )
 _TOKENS_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
@@ -971,14 +972,24 @@ def exact_dedup_docs(spark, sf_dir):
     return exact_duplicates(docs, "text", "doc_id")
 
 
+def _seeds_values_sql(num_hashes: int = 16) -> str:
+    from udacity_capstone_data_engineering_spark.operators.dedup import minhash_params
+
+    rows = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_params(num_hashes))
+    )
+    return f"(VALUES {rows}) seeds(seed, a, b)"
+
+
+_BASE31_SQL = "CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647"
+
 _MINHASH_ROWS_SQL = f"""
     WITH sh AS (
         SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents),
-    seeds AS (SELECT unnest(range(16)) AS seed)
+    base AS (SELECT doc_id, {_BASE31_SQL} AS b31 FROM sh)
     SELECT doc_id, CAST(seed AS INTEGER) AS seed,
-           MIN(CAST('0x' || substr(md5(seed || ':' || s), 1, 15) AS BIGINT))
-               AS minhash
-    FROM sh CROSS JOIN seeds
+           MIN((a * b31 + b) % 2147483647) AS minhash
+    FROM base CROSS JOIN {_seeds_values_sql(16)}
     GROUP BY doc_id, seed
 """
 
@@ -998,11 +1009,10 @@ def minhash_rows(spark, sf_dir):
 _NEAR_DUP_SQL = f"""
     WITH sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shset FROM documents),
     mh AS (
-        SELECT doc_id, seed,
-               MIN(CAST('0x' || substr(md5(seed || ':' || s), 1, 15) AS BIGINT))
-                   AS minhash
-        FROM (SELECT doc_id, unnest(shset) AS s FROM sh)
-        CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+        SELECT doc_id, seed, MIN((a * b31 + b) % 2147483647) AS minhash
+        FROM (SELECT doc_id, {_BASE31_SQL} AS b31
+              FROM (SELECT doc_id, unnest(shset) AS s FROM sh))
+        CROSS JOIN {_seeds_values_sql(16)}
         GROUP BY doc_id, seed),
     bk AS (
         SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
@@ -1024,7 +1034,7 @@ _NEAR_DUP_SQL = f"""
 
 @_register("near_dup_minhash_lsh", _NEAR_DUP_SQL)
 def near_dup_minhash_lsh(spark, sf_dir):
-    """Near-duplicate detection: MinHash (16 hashes) → LSH banding
+    """Near-duplicate detection: word-5-gram MinHash (16 hashes) → LSH banding
     (4 bands × 4 rows) → candidate pairs from shared buckets → exact
     shingle-Jaccard verification of candidates only.
 
