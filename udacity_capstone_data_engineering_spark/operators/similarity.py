@@ -59,32 +59,45 @@ def brute_force_topk(
     )
 
 
-def _hyperplane(dim: int, plane: int) -> list[float]:
+def _hyperplane(dim: int, table: int, plane: int) -> list[float]:
     """Deterministic pseudo-random hyperplane component values in [-1, 1],
     derived from md5 so any engine can reproduce them."""
     import hashlib
 
     out = []
     for d in range(dim):
-        h = int(hashlib.md5(f"plane:{plane}:{d}".encode()).hexdigest()[:15], 16)
+        h = int(hashlib.md5(f"t:{table}:p:{plane}:d:{d}".encode()).hexdigest()[:15], 16)
         out.append(h / float(2**59) - 1.0)
     return out
 
 
 def lsh_bucket_keys(
-    emb: DataFrame, vec_col: str, dim: int, planes: int = 8
+    emb: DataFrame, vec_col: str, dim: int, planes: int = 4, tables: int = 16
 ) -> DataFrame:
-    """Append an integer LSH bucket key: bit p = sign(v · hyperplane_p)."""
-    key = F.lit(0).cast("bigint")
-    for p in range(planes):
-        hp = F.array(*[F.lit(x) for x in _hyperplane(dim, p)])
-        d = F.aggregate(
-            F.zip_with(F.col(vec_col).cast("array<double>"), hp, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        key = key + F.when(d > 0, F.lit(2**p).cast("bigint")).otherwise(F.lit(0))
-    return emb.withColumn("bucket", key)
+    """Append (table, bucket) LSH keys, one row per table: bucket bit p
+    = sign(v · hyperplane_{table,p}). Multi-table is the standard
+    recall lever for random-hyperplane LSH: each extra table is an
+    independent chance for true neighbors to collide.
+
+    All dot products for one table row are computed in one pass; the
+    explode multiplies rows by ``tables`` (cheap: ids + small ints)."""
+    entries = []
+    for t in range(tables):
+        key = F.lit(0).cast("bigint")
+        for p in range(planes):
+            hp = F.array(*[F.lit(x) for x in _hyperplane(dim, t, p)])
+            d = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col).cast("array<double>"), hp, lambda a, b: a * b
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            key = key + F.when(d > 0, F.lit(2**p).cast("bigint")).otherwise(F.lit(0))
+        entries.append(F.struct(F.lit(t).alias("table"), key.alias("bucket")))
+    return emb.select(
+        "*", F.explode(F.array(*entries)).alias("tb")
+    ).select(*emb.columns, "tb.table", "tb.bucket")
 
 
 def lsh_topk(
@@ -93,28 +106,50 @@ def lsh_topk(
     vec_col: str,
     dim: int,
     k: int = 5,
-    planes: int = 8,
+    planes: int = 4,
+    tables: int = 16,
 ) -> DataFrame:
-    """Approximate top-k: cosine ranking restricted to same-bucket pairs.
+    """Approximate top-k: candidates = pairs sharing any table's bucket
+    (deduplicated), then exact cosine ranking of candidates only.
 
-    Recall is validated against ``brute_force_topk`` in tests (approx
-    operators get recall thresholds, not hash equality — SURVEY.md §7
-    risk register).
+    Scale shape: one shuffle on (table, bucket); candidate count is
+    sum of per-bucket sizes², tunable via planes (bucket granularity)
+    × tables (recall). Recall is validated against ``brute_force_topk``
+    in tests (approx operators get recall thresholds, not hash equality
+    — SURVEY.md §7 risk register).
     """
-    b = lsh_bucket_keys(emb, vec_col, dim, planes)
+    b = lsh_bucket_keys(emb, vec_col, dim, planes, tables)
     left = b.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
+        F.col(id_col).alias("query_id"), "table", "bucket"
     )
     right = b.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket"
+        F.col(id_col).alias("neighbor_id"), "table", "bucket"
     )
-    joined = left.join(right, "bucket").filter(
-        F.col("query_id") != F.col("neighbor_id")
+    cand = (
+        left.join(right, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
-    scored = joined.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine_similarity("qv", "cv"), 6).alias("cosine"),
+    vecs = emb.select(F.col(id_col), F.col(vec_col))
+    scored = (
+        cand.join(
+            vecs.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+            ),
+            "query_id",
+        )
+        .join(
+            vecs.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity("qv", "cv"), 6).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
