@@ -1,0 +1,89 @@
+"""Physical-plan shape assertions: the properties that matter at 100 TB
+(pushdown to the scan, broadcast for small dims, map-side partial
+aggregation, top-k without full sort) hold in the plans Catalyst
+actually produces — not just in docstrings."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from udacity_capstone_data_engineering_spark import queries as catalog
+
+QUERIES = catalog.queries()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_to_parquet(spark, sf_dir):
+    df = QUERIES["pricing_summary"](spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_at_scan(spark, sf_dir):
+    # drop_columns must become scan-level pruning: text never read.
+    df = QUERIES["drop_columns_docs"](spark, sf_dir)
+    plan = _plan(df)
+    assert "ReadSchema" in plan and "text" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_small_dim_broadcast(spark, sf_dir):
+    df = QUERIES["flagship_nation_order_stats"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    df = QUERIES["pricing_summary"](spark, sf_dir)
+    plan = _plan(df)
+    # HashAggregate appears twice: partial (map-side) + final.
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_global_topk_no_full_sort(spark, sf_dir):
+    df = QUERIES["global_top100_lineitems"](spark, sf_dir)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_window_topk_group_limit_pushdown(spark, sf_dir):
+    # Spark 3.5+/4.x pushes rank<=k into the shuffle as WindowGroupLimit.
+    df = QUERIES["window_topk_orders"](spark, sf_dir)
+    assert "WindowGroupLimit" in _plan(df)
+
+
+def test_anti_join_stays_hash_join(spark, sf_dir):
+    df = QUERIES["fk_orphan_lineitems"](spark, sf_dir)
+    plan = _plan(df)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_python_udfs_in_relational_tier(spark, sf_dir):
+    # Everything except the declared mapInPandas op must stay JVM-side:
+    # BatchEvalPython / ArrowEvalPython in a plan means a Python worker
+    # round-trip snuck into a hot path.
+    for name, fn in QUERIES.items():
+        if name == "multimodal_features":  # declared Arrow boundary
+            continue
+        plan = _plan(fn(spark, sf_dir))
+        assert "EvalPython" not in plan, f"{name} crosses into Python"
+
+
+def test_whole_stage_codegen_on_flagship(spark, sf_dir):
+    df = QUERIES["flagship_nation_order_stats"](spark, sf_dir)
+    df.collect()  # AQE reveals codegen stages only in the FINAL plan
+    # '*(n)' prefixes mark whole-stage-codegen stages in plan strings.
+    assert "isFinalPlan=true" in _plan(df) and "*(" in _plan(df)
+
+
+def test_lsh_join_partition_count_bounded(spark, sf_dir):
+    # AQE must be allowed to coalesce; the session factory enables it.
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"

@@ -106,7 +106,7 @@ def lsh_topk(
     vec_col: str,
     dim: int,
     k: int = 5,
-    planes: int = 4,
+    planes: int | None = None,
     tables: int = 16,
 ) -> DataFrame:
     """Approximate top-k: candidates = pairs sharing any table's bucket
@@ -114,10 +114,18 @@ def lsh_topk(
 
     Scale shape: one shuffle on (table, bucket); candidate count is
     sum of per-bucket sizes², tunable via planes (bucket granularity)
-    × tables (recall). Recall is validated against ``brute_force_topk``
-    in tests (approx operators get recall thresholds, not hash equality
-    — SURVEY.md §7 risk register).
+    × tables (recall). ``planes=None`` auto-sizes granularity to the
+    corpus — planes ≈ log2(n / 32) keeps expected bucket size ~32, so
+    candidate generation stays near-linear as n grows instead of
+    quadratic (fixed planes degenerate at scale). Recall is validated
+    against ``brute_force_topk`` in tests (approx operators get recall
+    thresholds, not hash equality — SURVEY.md §7 risk register).
     """
+    if planes is None:
+        import math
+
+        n = emb.count()  # parquet metadata count: cheap relative to the join
+        planes = max(4, math.ceil(math.log2(max(n, 64) / 32)))
     b = lsh_bucket_keys(emb, vec_col, dim, planes, tables)
     left = b.select(
         F.col(id_col).alias("query_id"), "table", "bucket"

@@ -1114,7 +1114,7 @@ def embedding_lsh_topk(spark, sf_dir):
     Approximate ⇒ no SQL oracle; recall vs brute force is asserted in
     tests (SURVEY.md §7 risk register)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, "vec_id", "embedding", dim=64, k=5, planes=4, tables=16)
+    return lsh_topk(emb, "vec_id", "embedding", dim=64, k=5, tables=16)
 
 
 @_register("multimodal_features", None)  # mapInPandas plumbing → rows-only
@@ -1143,3 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+# Phase-2 tier registers into the same registry on import.
+from udacity_capstone_data_engineering_spark import queries_phase2  # noqa: E402,F401

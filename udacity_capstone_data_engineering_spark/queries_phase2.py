@@ -1,0 +1,376 @@
+"""Phase-2 query tier: scalar-function coverage, SQL-entry operators,
+temporal joins (as-of / range), statistics, TF-IDF, sketches.
+
+Same contract as ``queries.py`` (which imports this module at the end
+so everything lands in one registry). Determinism notes:
+  - stddev/corr are computed from exact decimal moments, NOT the
+    engines' streaming one-pass implementations (order-sensitive);
+  - ln/exp results are rounded to 6 — libm ulp differences are real;
+  - as-of join uses the union+window trick (one shuffle, no range
+    explosion) — the standard scalable formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from udacity_capstone_data_engineering_spark.queries import (
+    _TOKENS_SQL,
+    _dec_avg_sql,
+    _dec_sum_sql,
+    _register,
+)
+from udacity_capstone_data_engineering_spark.sources.catalog import load_table
+
+
+@_register(
+    "string_functions",
+    """
+    SELECT p_partkey,
+           concat(p_brand, ':', p_type) AS brand_type,
+           upper(substring(p_name, 1, 8)) AS name_prefix,
+           length(p_name) AS name_len,
+           replace(p_type, ' ', '_') AS type_snake,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           strpos(p_type, 'BRUSHED') AS brushed_at,
+           reverse(p_brand) AS brand_rev,
+           trim(concat('  ', p_brand, '  ')) AS brand_trimmed
+    FROM part
+    """,
+)
+def string_functions(spark, sf_dir):
+    """Scalar string-function coverage (F-tier: the reference only used
+    upper/lower, ``etl.py:212,218``)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.upper(F.substring("p_name", 1, 8)).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.instr("p_type", "BRUSHED").alias("brushed_at"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias(
+            "brand_trimmed"
+        ),
+    )
+
+
+@_register(
+    "math_functions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05) AS disc_dev,
+           ceil(l_quantity / 7) AS qty_ceil7,
+           floor(sqrt(l_extendedprice)) AS price_sqrt_floor,
+           ROUND(ln(l_extendedprice + 1), 6) AS price_ln,
+           CAST(pow(l_quantity, 2) AS DOUBLE) AS qty_sq,
+           CAST(l_quantity AS BIGINT) % 5 AS qty_mod5,
+           greatest(l_tax, l_discount) AS max_rate,
+           least(l_tax, l_discount) AS min_rate
+    FROM lineitem
+    """,
+)
+def math_functions(spark, sf_dir):
+    """Scalar math coverage; ln rounded (libm ulp divergence across
+    engines is real)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil(F.col("l_quantity") / 7).alias("qty_ceil7"),
+        F.floor(F.sqrt("l_extendedprice")).alias("price_sqrt_floor"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.pow("l_quantity", 2).alias("qty_sq"),
+        (F.col("l_quantity").cast("bigint") % 5).alias("qty_mod5"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+    )
+
+
+@_register(
+    "json_extract_props",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(props ->> '$.k' AS INTEGER)) AS BIGINT) AS k_total,
+           MIN(CAST(props ->> '$.k' AS INTEGER)) AS k_min,
+           MAX(CAST(props ->> '$.k' AS INTEGER)) AS k_max
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_extract_props(spark, sf_dir):
+    """Semi-structured column handling: JSON property extraction with
+    builtin ``get_json_object`` (JVM-side), aggregated per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).cast("bigint").alias("k_total"),
+        F.min(k).alias("k_min"),
+        F.max(k).alias("k_max"),
+    )
+
+
+@_register(
+    "grouping_sets_sql",
+    f"""
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n_orders,
+           {_dec_sum_sql('o_totalprice', 'total_price')}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def grouping_sets_sql(spark, sf_dir):
+    """GROUPING SETS through the engine's SQL entry point (spark.sql) —
+    the reference never used spark.sql; the engine treats SQL text as a
+    first-class query surface (its cell-30 flagship was SQL text)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@_register(
+    "deterministic_stats",
+    """
+    SELECT l_returnflag,
+           n,
+           ROUND(sqrt((sum_x2 - sum_x * sum_x / n_d) / (n_d - 1)), 6) AS price_stddev,
+           ROUND((sum_xy - sum_x * sum_y / n_d)
+                 / sqrt((sum_x2 - sum_x * sum_x / n_d)
+                        * (sum_y2 - sum_y * sum_y / n_d)), 6) AS price_qty_corr
+    FROM (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(COUNT(*) AS DOUBLE) AS n_d,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_x,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_y,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_x2,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_y2,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_xy
+        FROM lineitem GROUP BY l_returnflag)
+    """,
+)
+def deterministic_stats(spark, sf_dir):
+    """stddev + correlation from exact decimal moments. The engines'
+    built-in stddev/corr are streaming one-pass algorithms whose result
+    depends on accumulation order — unusable for bit-stable results
+    across partitionings; exact moments are order-free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice").cast("decimal(18,2)")
+    y = F.col("l_quantity").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.lit(1)).cast("double").alias("n_d"),
+        F.sum(x).cast("double").alias("sum_x"),
+        F.sum(y).cast("double").alias("sum_y"),
+        F.sum(x * x).cast("double").alias("sum_x2"),
+        F.sum(y * y).cast("double").alias("sum_y2"),
+        F.sum(x * y).cast("double").alias("sum_xy"),
+    )
+    nd, sx, sy, sx2, sy2, sxy = (
+        F.col("n_d"), F.col("sum_x"), F.col("sum_y"),
+        F.col("sum_x2"), F.col("sum_y2"), F.col("sum_xy"),
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(F.sqrt((sx2 - sx * sx / nd) / (nd - 1)), 6).alias("price_stddev"),
+        F.round(
+            (sxy - sx * sy / nd)
+            / F.sqrt((sx2 - sx * sx / nd) * (sy2 - sy * sy / nd)),
+            6,
+        ).alias("price_qty_corr"),
+    )
+
+
+@_register(
+    "median_price_per_segment",
+    """
+    SELECT c_mktsegment,
+           ROUND(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+           ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def median_price_per_segment(spark, sf_dir):
+    """Exact interpolated percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``: both use the (n-1)p linear-interpolation
+    definition). At 100 TB swap to approx_percentile and drop the
+    oracle to tolerance checks."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90_price"),
+    )
+
+
+@_register(
+    "asof_join_purchase_view",
+    """
+    SELECT event_id, user_id, ts, prev_view_ts
+    FROM (
+        SELECT event_id, user_id, ts, is_purchase,
+               MAX(CASE WHEN NOT is_purchase THEN ts END) OVER (
+                   PARTITION BY user_id ORDER BY ts, is_purchase, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_view_ts
+        FROM (
+            SELECT event_id, user_id, epoch_us(ts) AS ts,
+                   event_type = 'purchase' AS is_purchase
+            FROM events WHERE event_type IN ('view', 'purchase')))
+    WHERE is_purchase
+    """,
+)
+def asof_join_purchase_view(spark, sf_dir):
+    """AS-OF join (operator Spark lacks natively): each purchase matched
+    to the user's most recent strictly-preceding view.
+
+    Implemented with the union+window formulation — both streams in one
+    partition-by-user sort, running MAX of view timestamps over the
+    preceding frame — ONE shuffle, no range self-join, no row
+    explosion. This is the 100-TB-safe shape for as-of semantics.
+    Timestamps are the raw nanosecond longs (exact comparisons)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    # Microsecond basis: the oracle engine reads the nanos parquet at
+    # micro precision, so raw-timestamp outputs standardize on micros.
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        F.expr("ts DIV 1000").alias("ts"),  # int64 div: ts > 2^53 breaks double math
+        (F.col("event_type") == "purchase").alias("is_purchase"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_view = F.max(
+        F.when(~F.col("is_purchase"), F.col("ts"))
+    ).over(w)
+    return (
+        tagged.withColumn("prev_view_ts", prev_view)
+        .filter("is_purchase")
+        .select("event_id", "user_id", "ts", "prev_view_ts")
+    )
+
+
+@_register(
+    "range_join_events_60s",
+    """
+    SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND epoch_us(b.ts) > epoch_us(a.ts)
+     AND epoch_us(b.ts) <= epoch_us(a.ts) + 60000000
+    """,
+)
+def range_join_events_60s(spark, sf_dir):
+    """Range (interval) join: same-user event pairs within 60 seconds.
+
+    Spark has no native band join; the scalable formulation buckets
+    time into window-width epochs and probes each row into its own and
+    the NEXT bucket, turning the range join into an equi join on
+    (user, bucket) + residual filter. Candidate count stays linear in
+    events per (user, minute) instead of quadratic per user."""
+    window_us = 60 * 1_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.expr("ts DIV 1000").alias("ts"),  # int64 div, not double math
+    )
+    bucket = F.expr(f"ts DIV {window_us}")
+    probes = ev.select(
+        F.col("event_id").alias("id_a"),
+        "user_id",
+        F.col("ts").alias("ts_a"),
+        F.explode(F.array(bucket, bucket + 1)).alias("bucket"),
+    )
+    build = ev.select(
+        F.col("event_id").alias("id_b"),
+        F.col("user_id").alias("user_b"),
+        F.col("ts").alias("ts_b"),
+        bucket.alias("bucket"),
+    )
+    return (
+        probes.join(
+            build,
+            (probes.user_id == build.user_b) & (probes.bucket == build.bucket),
+        )
+        .filter(
+            (F.col("ts_b") > F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + window_us)
+        )
+        .select("id_a", "id_b", "user_id")
+        .distinct()
+    )
+
+
+@_register(
+    "token_tfidf",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, token, tf, df,
+           ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+    FROM tf JOIN df USING (token) CROSS JOIN n
+    """,
+)
+def token_tfidf(spark, sf_dir):
+    """TF-IDF per (document, token): explode → two aggregations → join.
+    Scale shape: tf aggregation is map-side-combinable; df is a
+    distinct-agg over (token, doc) pairs; the final join broadcasts the
+    vocabulary-sized df table."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar: vocabulary-level constant
+    return tf.join(F.broadcast(df), "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+
+
+@_register("approx_distinct_users", None)  # sketch → rows-only check
+def approx_distinct_users(spark, sf_dir):
+    """HyperLogLog++ distinct-user sketch per event type, with the exact
+    count alongside. Approximate ⇒ no hash oracle; the unit test bounds
+    relative error. At 100 TB the sketch is mergeable across partitions
+    (one pass, no distinct shuffle of raw user ids)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
