@@ -51,12 +51,15 @@ def char_shingles(text: Column | str, k: int = 5) -> Column:
     )
 
 
-def word_shingles(text: Column | str, k: int = 5) -> Column:
-    """Distinct word k-grams — the MinHash input representation for
-    text dedup (word n-grams discriminate far better than character
-    shingles on natural text, and the arrays are ~k× smaller). Docs
-    with fewer than k tokens yield an empty set (cannot near-dup)."""
-    toks = tokens(text)
+def shingles_from_tokens(toks: Column, k: int = 5) -> Column:
+    """Distinct word k-grams from an already-computed token array.
+
+    IMPORTANT at scale: pass a BOUND column (project ``tokens(text)``
+    into a named column first). Passing the raw ``tokens(text)``
+    expression works but re-evaluates the regex split once per shingle
+    position — higher-order-function lambdas are not subexpression-
+    eliminated by codegen.
+    """
     n = F.size(toks) - F.lit(k - 1)
     return F.when(n < 1, F.array().cast("array<string>")).otherwise(
         F.array_distinct(
@@ -66,6 +69,18 @@ def word_shingles(text: Column | str, k: int = 5) -> Column:
             )
         )
     )
+
+
+def word_shingles(text: Column | str, k: int = 5) -> Column:
+    """Distinct word k-grams — the MinHash input representation for
+    text dedup (word n-grams discriminate far better than character
+    shingles on natural text, and the arrays are ~k× smaller). Docs
+    with fewer than k tokens yield an empty set (cannot near-dup).
+
+    Convenience form over :func:`shingles_from_tokens`; hot paths
+    should bind the token array to a column first (see that function's
+    scale note)."""
+    return shingles_from_tokens(tokens(text), k)
 
 
 def punct_ratio(text: Column | str) -> Column:

@@ -41,7 +41,9 @@ def null_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     for c in use:
         n = F.count(F.when(F.col(c).isNull(), 1))
         exprs.append(n.alias(f"{c}_nulls"))
-        exprs.append(F.round(n / total, 6).alias(f"{c}_null_ratio"))
+        # greatest(total,1): identical on any non-empty input; keeps the
+        # empty-table profile from raising under ANSI division.
+        exprs.append(F.round(n / F.greatest(total, F.lit(1)), 6).alias(f"{c}_null_ratio"))
     return df.select(*exprs)
 
 

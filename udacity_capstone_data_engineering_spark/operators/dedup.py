@@ -23,7 +23,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from udacity_capstone_data_engineering_spark.functions.hashing import portable_hash64
-from udacity_capstone_data_engineering_spark.functions.text import word_shingles
+from udacity_capstone_data_engineering_spark.functions.text import (
+    shingles_from_tokens,
+    tokens,
+    word_shingles,
+)
 
 
 def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -67,9 +71,16 @@ def minhash_signatures(
     permutations are cheap affine maps over that base — 16x less
     hashing than seeding md5 per permutation. Entirely per-row (no
     shuffle); signature is an array<bigint> of length ``num_hashes``."""
-    sh = word_shingles(text_col, k=shingle_k)
+    # Bind tokens, then shingles, as real columns: each projection's
+    # output is computed once per row; leaving them as nested
+    # expressions re-runs the regex split per shingle position.
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    shingled = toked.select(
+        F.col(id_col),
+        shingles_from_tokens(F.col("__toks"), k=shingle_k).alias("__sh"),
+    )
     bases = F.transform(
-        sh,
+        F.col("__sh"),
         lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
         % F.lit(MERSENNE31),
     )
@@ -93,8 +104,8 @@ def minhash_signatures(
     # Docs with no shingles (< k tokens) must get NULL, not the sentinel
     # init vector — identical sentinel signatures would LSH-bucket all
     # short docs together.
-    signature = F.when(F.size(bases) > 0, signature)
-    return df.select(F.col(id_col), signature.alias("signature"))
+    signature = F.when(F.size("__sh") > 0, signature)
+    return shingled.select(F.col(id_col), signature.alias("signature"))
 
 
 def lsh_candidate_pairs(
@@ -170,8 +181,8 @@ def jaccard_pairs(
     """Exact shingle-set Jaccard for given candidate (id_a, id_b) pairs.
     Joins the (small) pair list against per-doc shingle sets, then
     computes |∩| / |∪| with array builtins."""
-    sh = df.select(
-        F.col(id_col), word_shingles(text_col, k=shingle_k).alias("sh")
+    sh = df.select(F.col(id_col), tokens(text_col).alias("__toks")).select(
+        F.col(id_col), shingles_from_tokens(F.col("__toks"), k=shingle_k).alias("sh")
     )
     j = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")

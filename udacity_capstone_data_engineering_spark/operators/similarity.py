@@ -139,24 +139,40 @@ def lsh_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    vecs = emb.select(F.col(id_col), F.col(vec_col))
+    # Normalize each vector ONCE (|corpus| norms), so per-pair scoring
+    # is a single dot product instead of dot + two norms — the pair set
+    # is orders of magnitude larger than the corpus.
+    from udacity_capstone_data_engineering_spark.functions.vectors import dot, l2_norm
+
+    unit = emb.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).select(
+        F.col(id_col),
+        F.col("__v"),
+        l2_norm(F.col("__v")).alias("__n"),  # bound: computed once per row
+    ).select(
+        F.col(id_col),
+        # zero-norm → NULL unit vector (ANSI /0 raises); NULL uv yields
+        # NULL cosine, ranked last — degenerate vectors never crash the job.
+        F.when(
+            F.col("__n") > 0,
+            F.transform(F.col("__v"), lambda x: x / F.col("__n")),
+        ).alias("uv"),
+    )
     scored = (
         cand.join(
-            vecs.select(
-                F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-            ),
+            unit.select(F.col(id_col).alias("query_id"), F.col("uv").alias("qv")),
             "query_id",
         )
         .join(
-            vecs.select(
-                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-            ),
+            unit.select(F.col(id_col).alias("neighbor_id"), F.col("uv").alias("cv")),
             "neighbor_id",
         )
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity("qv", "cv"), 6).alias("cosine"),
+            F.round(dot("qv", "cv"), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -188,15 +188,14 @@ def deterministic_stats(spark, sf_dir):
         F.col("n_d"), F.col("sum_x"), F.col("sum_y"),
         F.col("sum_x2"), F.col("sum_y2"), F.col("sum_xy"),
     )
+    nm1 = F.nullif(nd - 1, F.lit(0.0))  # 1-row group → NULL, not ANSI /0 raise
+    var_x = (sx2 - sx * sx / nd) / nm1
+    denom = F.nullif(F.sqrt((sx2 - sx * sx / nd) * (sy2 - sy * sy / nd)), F.lit(0.0))
     return m.select(
         "l_returnflag",
         "n",
-        F.round(F.sqrt((sx2 - sx * sx / nd) / (nd - 1)), 6).alias("price_stddev"),
-        F.round(
-            (sxy - sx * sy / nd)
-            / F.sqrt((sx2 - sx * sx / nd) * (sy2 - sy * sy / nd)),
-            6,
-        ).alias("price_qty_corr"),
+        F.round(F.sqrt(var_x), 6).alias("price_stddev"),
+        F.round((sxy - sx * sy / nd) / denom, 6).alias("price_qty_corr"),
     )
 
 
