@@ -32,7 +32,14 @@ HEADLINE = [
     "near_dup_minhash_lsh",
     "simhash_docs",
     "doc_quality",
+    "token_tfidf",
+    "asof_join_purchase_view",
+    "range_join_events_60s",
+    "json_extract_props",
+    "deterministic_stats",
+    "salted_skew_agg",
     "embedding_lsh_topk",
+    "embedding_ivf_topk",
 ]
 
 

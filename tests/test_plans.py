@@ -70,8 +70,12 @@ def test_no_python_udfs_in_relational_tier(spark, sf_dir):
     # Everything except the declared mapInPandas op must stay JVM-side:
     # BatchEvalPython / ArrowEvalPython in a plan means a Python worker
     # round-trip snuck into a hot path.
+    declared_arrow = {
+        "multimodal_features",  # mapInPandas payload decode
+        "embedding_ivf_topk",   # batch matmul cell assignment
+    }
     for name, fn in QUERIES.items():
-        if name == "multimodal_features":  # declared Arrow boundary
+        if name in declared_arrow:
             continue
         plan = _plan(fn(spark, sf_dir))
         assert "EvalPython" not in plan, f"{name} crosses into Python"

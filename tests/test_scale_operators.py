@@ -1,0 +1,86 @@
+"""Skew-salted aggregation, IVF ANN, stateful streaming sessionization."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from udacity_capstone_data_engineering_spark.operators.ivf import ivf_topk
+from udacity_capstone_data_engineering_spark.operators.similarity import brute_force_topk
+from udacity_capstone_data_engineering_spark.operators.skew import salted_group_agg
+
+
+def test_salted_group_agg_matches_plain(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    salted = salted_group_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "total_qty": ("sum", "cast(l_quantity as decimal(18,2))"),
+            "n": ("count", "1"),
+            "max_price": ("max", "l_extendedprice"),
+            "min_ship": ("min", "l_shipdate"),
+        },
+        salt=8,
+    )
+    plain = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("total_qty"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_shipdate").alias("min_ship"),
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_rejects_non_algebraic(spark):
+    df = spark.range(10)
+    try:
+        salted_group_agg(df, ["id"], {"a": ("avg", "id")})
+        raise AssertionError("avg must be rejected (not salt-combinable)")
+    except ValueError as e:
+        assert "avg" in str(e)
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = brute_force_topk(emb, "vec_id", "embedding", k=5)
+    approx = ivf_topk(emb, "vec_id", "embedding", k=5, n_centroids=16, nprobe=8)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall > 0.5, f"IVF recall collapsed: {recall}"
+
+
+def test_stateful_streaming_sessionize(spark, tmp_path):
+    from udacity_capstone_data_engineering_spark.streaming.stateful import (
+        sessionize_stream,
+    )
+
+    minute_ns = 60 * 1_000_000_000
+    rows = [
+        # user 1: two sessions (40-min gap), 3 events
+        (1, 0 * minute_ns),
+        (1, 10 * minute_ns),
+        (1, 50 * minute_ns),
+        # user 2: one session, 2 events
+        (2, 0 * minute_ns),
+        (2, 5 * minute_ns),
+    ]
+    src = tmp_path / "events_src"
+    batch = spark.createDataFrame(rows, "user_id long, ts long")
+    batch.write.parquet(str(src))
+
+    stream = spark.readStream.schema(batch.schema).parquet(str(src))
+    out = sessionize_stream(stream, gap_minutes=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessionize_state_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.user_id: (r.n_events, r.n_sessions)
+        for r in spark.sql("SELECT * FROM sessionize_state_test").collect()
+    }
+    assert got == {1: (3, 2), 2: (2, 1)}
