@@ -421,3 +421,161 @@ def embedding_ivf_topk(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, "vec_id", "embedding", k=5, nprobe=8)
+
+
+@_register(
+    "embedding_norms",
+    """
+    SELECT vec_id, label,
+           ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))), 6) AS l2,
+           len(embedding) AS dim
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark, sf_dir):
+    """Vector-column scalar coverage: per-row L2 norm + dimensionality,
+    all builtin higher-order functions."""
+    from udacity_capstone_data_engineering_spark.functions.vectors import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(l2_norm(F.col("embedding").cast("array<double>")), 6).alias("l2"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+@_register(
+    "window_rank_family",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
+           ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_rank_family(spark, sf_dir):
+    """The full ranking-window family: dense_rank, percent_rank, ntile,
+    first_value/last_value with explicit frames (last_value needs the
+    unbounded-following frame — default frames stop at current row)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(wfull).alias("last_order"),
+    )
+
+
+@_register(
+    "date_functions",
+    """
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           CAST(quarter(o_orderdate) AS INTEGER) AS q,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+                AS INTEGER) AS days_to_2002
+    FROM orders
+    """,
+)
+def date_functions(spark, sf_dir):
+    """Date-function coverage beyond the reference's parts extraction:
+    truncation, quarter, month arithmetic (clamping semantics match
+    across engines), last_day, datediff."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.trunc(d, "month").alias("order_month"),
+        F.quarter(d).alias("q"),
+        F.add_months(d, 3).alias("plus3m"),
+        F.last_day(d).alias("month_end"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d).alias("days_to_2002"),
+    )
+
+
+@_register(
+    "null_semantics",
+    """
+    SELECT event_id,
+           COALESCE(NULLIF(event_type, 'error'), 'fallback') AS coalesced,
+           NULLIF(event_type, 'error') IS DISTINCT FROM 'view' AS not_view,
+           CASE WHEN NULLIF(event_type, 'error') IS NULL
+                THEN 'was_error' ELSE 'ok' END AS null_branch
+    FROM events
+    """,
+)
+def null_semantics(spark, sf_dir):
+    """NULL-handling semantics: coalesce/nullif/IS DISTINCT FROM — the
+    three-valued-logic corners that silently corrupt cleaning pipelines
+    when mishandled (the reference's QC inverted a boolean, §2.9)."""
+    ev = load_table(spark, sf_dir, "events")
+    nulled = F.nullif(F.col("event_type"), F.lit("error"))
+    return ev.select(
+        "event_id",
+        F.coalesce(nulled, F.lit("fallback")).alias("coalesced"),
+        (~nulled.eqNullSafe(F.lit("view"))).alias("not_view"),
+        F.when(nulled.isNull(), "was_error").otherwise("ok").alias("null_branch"),
+    )
+
+
+@_register(
+    "pivot_status_counts",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_counts(spark, sf_dir):
+    """Pivot: order counts per priority × status, statuses as columns.
+    Explicit value list — at scale an unlisted pivot triggers an extra
+    distinct pass over the key."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+@_register(
+    "unpivot_part_measures",
+    """
+    SELECT p_partkey, measure, value FROM (
+        SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 'retailprice' AS measure, p_retailprice AS value
+        FROM part)
+    """,
+)
+def unpivot_part_measures(spark, sf_dir):
+    """Unpivot (melt): wide measure columns → long (key, measure, value)
+    rows — the normalization step feeding generic metric pipelines."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    ).unpivot("p_partkey", ["size", "retailprice"], "measure", "value")
