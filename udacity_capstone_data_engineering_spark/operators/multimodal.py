@@ -66,13 +66,20 @@ def extract_features(
     """
     schema = f"{id_col} long, features array<double>"
 
+    # The closure must be SELF-CONTAINED: referencing module-level
+    # helpers pickles them by module path, and Python workers spawned
+    # by an arbitrary driver CWD cannot import this package.
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def feats_of(payload: bytes) -> list[float]:
+            h = hashlib.md5(payload).digest()
+            return [h[i] / 255.0 for i in range(n_features)]
+
         for pdf in batches:
             for start in range(0, len(pdf), batch_size):
                 chunk = pdf.iloc[start : start + batch_size]
-                feats = [
-                    fake_features(bytes(p), n_features) for p in chunk[binary_col]
-                ]
+                feats = [feats_of(bytes(p)) for p in chunk[binary_col]]
                 yield pd.DataFrame({id_col: chunk[id_col].values, "features": feats})
 
     return df.select(id_col, binary_col).mapInPandas(run, schema=schema)
