@@ -72,7 +72,8 @@ def test_no_python_udfs_in_relational_tier(spark, sf_dir):
     # round-trip snuck into a hot path.
     declared_arrow = {
         "multimodal_features",  # mapInPandas payload decode
-        "embedding_ivf_topk",   # batch matmul cell assignment
+        "embedding_ivf_topk",   # batch matmul cell assignment + scoring
+        "embedding_lsh_topk",   # batch matmul bucketing + scoring
     }
     for name, fn in QUERIES.items():
         if name in declared_arrow:

@@ -89,7 +89,7 @@ def ivf_topk(
     cell is among the query's ``nprobe`` nearest cells."""
     import math
 
-    from udacity_capstone_data_engineering_spark.functions.vectors import dot, l2_norm
+    from udacity_capstone_data_engineering_spark.functions.vectors import l2_norm
 
     if n_centroids is None:
         n = emb.count()
@@ -109,25 +109,25 @@ def ivf_topk(
     ).filter(F.col("uv").isNotNull())
 
     probe = _probe_cells_udf(centers, nprobe)
-    ranked = v.select(F.col(id_col), "uv", probe(F.col("uv")).alias("__cells"))
+    ranked = v.select(F.col(id_col), probe(F.col("uv")).alias("__cells"))
     assigned = ranked.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col("uv").alias("cv"),
         F.col("__cells")[0].alias("cell"),
     )
     probes = ranked.select(
         F.col(id_col).alias("query_id"),
-        F.col("uv").alias("qv"),
         F.explode("__cells").alias("cell"),
     )
+    # Candidates carry ONLY ids; scoring gathers vectors from the
+    # broadcast matrix (or falls back to joins past the size guard).
     cands = probes.join(assigned, "cell").filter(
         F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", "neighbor_id")
+    from udacity_capstone_data_engineering_spark.operators.similarity import (
+        _score_pairs,
     )
-    scored = cands.select(
-        "query_id",
-        "neighbor_id",
-        F.round(dot("qv", "cv"), 6).alias("cosine"),
-    )
+
+    scored = _score_pairs(emb, id_col, vec_col, cands)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )

