@@ -21,6 +21,7 @@ from udacity_capstone_data_engineering_spark.queries import (
     _dec_sum_sql,
     _register,
 )
+from udacity_capstone_data_engineering_spark.operators.joins import equi_join
 from udacity_capstone_data_engineering_spark.sources.catalog import load_table
 
 
@@ -579,3 +580,48 @@ def unpivot_part_measures(spark, sf_dir):
         F.col("p_size").cast("double").alias("size"),
         F.col("p_retailprice").alias("retailprice"),
     ).unpivot("p_partkey", ["size", "retailprice"], "measure", "value")
+
+
+@_register(
+    "regexp_operations",
+    """
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) AS k_re,
+           props LIKE '{"k"%' AS starts_like,
+           regexp_matches(props, '[0-9]{2,}') AS has_2digits
+    FROM events
+    """,
+)
+def regexp_operations(spark, sf_dir):
+    """Regex coverage: capture-group extraction, LIKE, rlike."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", r'"k": (\d+)', 1).cast("int").alias("k_re"),
+        F.col("props").like('{"k"%').alias("starts_like"),
+        F.col("props").rlike("[0-9]{2,}").alias("has_2digits"),
+    )
+
+
+@_register(
+    "nations_per_region_csv",
+    """
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def nations_per_region_csv(spark, sf_dir):
+    """collect_list → sort → join aggregation (string_agg semantics).
+    Sorting before joining makes the collected order deterministic —
+    collect_list order is partitioning-dependent otherwise."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    j = equi_join(nation, region, nation.n_regionkey == region.r_regionkey,
+                  broadcast_right=True)
+    return j.groupBy("r_name").agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
+        F.count(F.lit(1)).alias("n_nations"),
+    )
