@@ -625,3 +625,52 @@ def nations_per_region_csv(spark, sf_dir):
         F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
         F.count(F.lit(1)).alias("n_nations"),
     )
+
+
+@_register(
+    "revenue_histogram",
+    """
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS bucket_min,
+           MAX(o_totalprice) AS bucket_max
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def revenue_histogram(spark, sf_dir):
+    """Histogram binning: fixed-width buckets as a computed group key —
+    the one-pass distributed histogram shape (group on floor(x/w))."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("bigint")
+    return orders.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("bucket_min"),
+        F.max("o_totalprice").alias("bucket_max"),
+    )
+
+
+@_register(
+    "monthly_revenue_rollup",
+    f"""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           COUNT(*) AS n_orders,
+           {_dec_sum_sql('o_totalprice', 'revenue')},
+           COUNT(DISTINCT o_custkey) AS active_customers
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def monthly_revenue_rollup(spark, sf_dir):
+    """Time-series rollup (continuous-aggregate shape): monthly order
+    counts, exact revenue, distinct actives. At 100 TB this is the
+    materialized summary the fact table's month partitioning feeds
+    (write_parquet partition_by + Pipeline materialize boundaries)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.trunc(F.to_date("o_orderdate"), "month").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        F.countDistinct("o_custkey").alias("active_customers"),
+    )
