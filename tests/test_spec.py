@@ -1,0 +1,87 @@
+"""Declarative spec → Pipeline compilation, verified against the same
+result expressed directly with DataFrame code."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+from udacity_capstone_data_engineering_spark.plans.spec import compile_spec
+
+SPEC = {
+    "stages": [
+        {"name": "orders", "source": "orders"},
+        {"name": "customer", "source": "customer"},
+        {
+            "name": "big_orders",
+            "input": "orders",
+            "steps": [
+                {"op": "filter", "expr": "o_totalprice > 100000"},
+                {
+                    "op": "select",
+                    "mapping": {
+                        "o_custkey": "o_custkey",
+                        "price": "o_totalprice",
+                    },
+                },
+            ],
+        },
+        {
+            "name": "segment_mart",
+            "input": "big_orders",
+            "materialize": True,
+            "steps": [
+                {
+                    "op": "join",
+                    "right": "customer",
+                    "on": "o_custkey = c_custkey",
+                    "broadcast": True,
+                },
+                {
+                    "op": "group_agg",
+                    "keys": ["c_mktsegment"],
+                    "aggs": {
+                        "n_big_orders": "count(1)",
+                        "total": "cast(sum(cast(price as decimal(18,2))) as double)",
+                    },
+                },
+            ],
+        },
+    ]
+}
+
+
+def test_spec_pipeline_matches_direct_dataframe_code(spark, sf_dir, tmp_path):
+    pl = compile_spec(spark, SPEC, sf_dir=sf_dir, workdir=str(tmp_path))
+    out = pl.run()["segment_mart"]
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    want = (
+        orders.filter("o_totalprice > 100000")
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_big_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, want.collect()))
+    assert (tmp_path / "segment_mart").exists()  # materialize boundary
+
+
+def test_spec_unknown_op_rejected(spark, sf_dir):
+    bad = {"stages": [{"name": "o", "source": "orders"},
+                      {"name": "x", "input": "o",
+                       "steps": [{"op": "frobnicate"}]}]}
+    pl = compile_spec(spark, bad, sf_dir=sf_dir)
+    with pytest.raises(ValueError, match="frobnicate"):
+        pl.run()
+
+
+def test_spec_source_requires_sf_dir(spark):
+    with pytest.raises(ValueError, match="sf_dir"):
+        compile_spec(spark, {"stages": [{"name": "o", "source": "orders"}]})
