@@ -1,0 +1,101 @@
+"""Connected components over duplicate-pair edges: the step that turns
+near-dup PAIRS into dedup GROUPS (keep one representative per
+component, drop the rest) — the actual deliverable of a corpus dedup
+pass.
+
+Algorithm: iterative minimum-label propagation (the standard
+Pregel-style formulation expressed in DataFrames):
+
+  label(v) ← min(v, min over neighbors' labels), iterate to fixpoint.
+
+Each iteration is one join + one aggregation (both on the edge list,
+which for dedup is ≪ corpus); rounds needed = graph diameter, and
+duplicate clusters are near-cliques, so it converges in 2-3 rounds in
+practice. The fixpoint (label = min id of the component) is unique and
+engine-independent — oracle-checkable against a recursive-CTE SQL
+implementation.
+
+A hard ``max_iterations`` bounds pathological chains; hitting it
+raises rather than silently returning a non-fixpoint (no silent caps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(node, component) for every node in the edge list; component =
+    min node id reachable. Nodes not in any pair are not emitted
+    (callers union-in singletons if they need full coverage)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("component")
+    )
+    for _ in range(max_iterations):
+        # candidate labels: own + min over neighbors' current labels
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("component").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        # convergence: no label changed this round
+        changed = (
+            labels.alias("old")
+            .join(updated.alias("new"), "node")
+            .filter(F.col("old.component") != F.col("new.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            return labels
+        # Cut lineage each round: iterative self-referential plans grow
+        # exponentially otherwise. localCheckpoint keeps it executor-side.
+        labels = labels.localCheckpoint(eager=True)
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} iterations"
+    )
+
+
+def dedup_groups(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Full dedup verdict per row: (id, component, is_representative).
+    Rows in no pair are their own singleton component. Downstream keeps
+    ``is_representative`` rows only."""
+    comps = connected_components(pairs, id_a, id_b)
+    out = (
+        df.select(F.col(id_col).alias("node"))
+        .join(comps, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("component", "node").alias("component"),
+        )
+    )
+    return out.withColumn(
+        "is_representative", F.col(id_col) == F.col("component")
+    )

@@ -1006,8 +1006,7 @@ def minhash_rows(spark, sf_dir):
     )
 
 
-_NEAR_DUP_SQL = f"""
-    WITH sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shset FROM documents),
+_NEAR_DUP_CTES = f"""sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shset FROM documents),
     mh AS (
         SELECT doc_id, seed, MIN((a * b31 + b) % 2147483647) AS minhash
         FROM (SELECT doc_id, {_BASE31_SQL} AS b31
@@ -1021,14 +1020,37 @@ _NEAR_DUP_SQL = f"""
     pairs AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
-                           AND a.doc_id < b.doc_id)
-    SELECT id_a, id_b,
-           ROUND(len(list_intersect(sa.shset, sb.shset))
-                 / greatest(len(list_distinct(list_concat(sa.shset, sb.shset))), 1),
-                 6) AS jaccard
-    FROM pairs
-    JOIN sh sa ON sa.doc_id = id_a
-    JOIN sh sb ON sb.doc_id = id_b
+                           AND a.doc_id < b.doc_id),
+    jp AS (
+        SELECT id_a, id_b,
+               ROUND(len(list_intersect(sa.shset, sb.shset))
+                     / greatest(len(list_distinct(list_concat(sa.shset, sb.shset))), 1),
+                     6) AS jaccard
+        FROM pairs
+        JOIN sh sa ON sa.doc_id = id_a
+        JOIN sh sb ON sb.doc_id = id_b)"""
+
+_NEAR_DUP_SQL = f"""
+    WITH {_NEAR_DUP_CTES}
+    SELECT id_a, id_b, jaccard FROM jp
+"""
+
+NEAR_DUP_THRESHOLD = 0.8
+
+_DEDUP_CLUSTERS_SQL = f"""
+    WITH RECURSIVE {_NEAR_DUP_CTES},
+    good AS (SELECT id_a, id_b FROM jp WHERE jaccard >= {NEAR_DUP_THRESHOLD}),
+    bidir AS (SELECT id_a AS a, id_b AS b FROM good
+              UNION SELECT id_b, id_a FROM good),
+    walk(node, label) AS (
+        SELECT a AS node, a AS label FROM bidir
+        UNION
+        SELECT w.node, e.b AS label FROM walk w JOIN bidir e ON w.label = e.a),
+    comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node)
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS component,
+           d.doc_id = COALESCE(c.component, d.doc_id) AS is_representative
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
 """
 
 
@@ -1147,3 +1169,30 @@ def oracle_sql() -> dict[str, str]:
 
 # Phase-2 tier registers into the same registry on import.
 from udacity_capstone_data_engineering_spark import queries_phase2  # noqa: E402,F401
+
+
+@_register("dedup_clusters", _DEDUP_CLUSTERS_SQL)
+def dedup_clusters(spark, sf_dir):
+    """End-to-end near-dup DEDUP verdict: MinHash-LSH candidates →
+    Jaccard ≥ threshold edges → connected components (iterative min-
+    label propagation; Pregel-style in DataFrames) → one representative
+    per component. The oracle recomputes components with a recursive
+    CTE — the fixpoint (min id per component) is engine-independent.
+
+    This is the operator a 100-TB corpus dedup actually ships: pair
+    detection scales via LSH buckets, and component propagation joins
+    only the (tiny relative to corpus) edge list per round."""
+    from udacity_capstone_data_engineering_spark.operators.clusters import dedup_groups
+    from udacity_capstone_data_engineering_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=16, shingle_k=5)
+    cands = lsh_candidate_pairs(sigs, "doc_id", bands=4)
+    edges = jaccard_pairs(docs, "text", "doc_id", cands, shingle_k=5).filter(
+        F.col("jaccard") >= NEAR_DUP_THRESHOLD
+    )
+    return dedup_groups(docs, "doc_id", edges)
