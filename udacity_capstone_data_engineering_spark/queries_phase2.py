@@ -674,3 +674,47 @@ def monthly_revenue_rollup(spark, sf_dir):
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
         F.countDistinct("o_custkey").alias("active_customers"),
     )
+
+
+@_register(
+    "embedding_dup_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(a.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])))),
+                 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[]))
+          / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(a.embedding AS DOUBLE[])))
+             * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])))) >= 0.4
+    """,
+)
+def embedding_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, EXACT tier: threshold
+    self-join with bit-stable builtin vector math (left-to-right double
+    accumulation == the oracle's). The LSH/IVF paths are the scale
+    tier; this is their correctness baseline and the semantic dedup
+    companion to shingle-Jaccard near-dup."""
+    from udacity_capstone_data_engineering_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cos >= 0.4)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+    )
