@@ -26,13 +26,20 @@ from pyspark.sql import functions as F
 
 
 def _fit_centroids(
-    emb: DataFrame, vec_col: str, k: int, seed: int, sample: int, iters: int = 10
+    emb: DataFrame,
+    vec_col: str,
+    k: int,
+    seed: int,
+    sample: int,
+    iters: int = 10,
+    n: int | None = None,
 ):
     """Seeded numpy Lloyd k-means over a bounded sample; returns (k, dim)
     float64 ndarray."""
     import numpy as np
 
-    n = emb.count()
+    if n is None:
+        n = emb.count()
     frac = min(1.0, sample / max(n, 1))
     train_df = emb.sample(fraction=frac, seed=seed) if frac < 1.0 else emb
     x = np.array(
@@ -91,10 +98,10 @@ def ivf_topk(
 
     from udacity_capstone_data_engineering_spark.functions.vectors import l2_norm
 
+    n = emb.count()  # counted ONCE; reused by fit + scoring-path choice
     if n_centroids is None:
-        n = emb.count()
         n_centroids = max(16, int(math.sqrt(max(n, 256))))
-    centers = _fit_centroids(emb, vec_col, n_centroids, seed, fit_sample)
+    centers = _fit_centroids(emb, vec_col, n_centroids, seed, fit_sample, n=n)
 
     v = emb.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
@@ -109,7 +116,10 @@ def ivf_topk(
     ).filter(F.col("uv").isNotNull())
 
     probe = _probe_cells_udf(centers, nprobe)
-    ranked = v.select(F.col(id_col), probe(F.col("uv")).alias("__cells"))
+    # Persisted: both branches below (assignment + probes) read it, and
+    # without the persist each branch would re-run the scan + probe UDF.
+    # Rows are (id, nprobe ints) — tiny relative to the vectors.
+    ranked = v.select(F.col(id_col), probe(F.col("uv")).alias("__cells")).persist()
     assigned = ranked.select(
         F.col(id_col).alias("neighbor_id"),
         F.col("__cells")[0].alias("cell"),
@@ -127,7 +137,7 @@ def ivf_topk(
         _score_pairs,
     )
 
-    scored = _score_pairs(emb, id_col, vec_col, cands)
+    scored = _score_pairs(emb, id_col, vec_col, cands, n=n)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )

@@ -124,7 +124,7 @@ def lsh_bucket_keys(
 BROADCAST_SCORE_MAX_VECTORS = 2_000_000
 
 
-def _score_pairs(emb, id_col: str, vec_col: str, cand):
+def _score_pairs(emb, id_col: str, vec_col: str, cand, n: int | None = None):
     """Cosine for candidate (query_id, neighbor_id) pairs.
 
     Fast path: broadcast the normalized vector matrix (corpus is small
@@ -143,7 +143,8 @@ def _score_pairs(emb, id_col: str, vec_col: str, cand):
     from udacity_capstone_data_engineering_spark.functions.vectors import dot, l2_norm
 
     spark = emb.sparkSession
-    n = emb.count()
+    if n is None:
+        n = emb.count()
 
     unit = emb.select(
         F.col(id_col),
@@ -226,12 +227,17 @@ def lsh_topk(
     against ``brute_force_topk`` in tests (approx operators get recall
     thresholds, not hash equality — SURVEY.md §7 risk register).
     """
+    n = emb.count()  # counted ONCE; reused for auto-sizing + scoring path
     if planes is None:
         import math
 
-        n = emb.count()  # parquet metadata count: cheap relative to the join
         planes = max(4, math.ceil(math.log2(max(n, 64) / 32)))
-    b = lsh_bucket_keys(emb, vec_col, dim, planes, tables)
+    # Persisted: the self-join reads the bucketed keys from BOTH sides,
+    # and without the persist each side re-runs the scan + bucket UDF.
+    # Rows are (id, table, bucket) ints — tiny relative to the vectors.
+    b = lsh_bucket_keys(emb, vec_col, dim, planes, tables).select(
+        F.col(id_col), "table", "bucket"
+    ).persist()
     left = b.select(
         F.col(id_col).alias("query_id"), "table", "bucket"
     )
@@ -244,7 +250,7 @@ def lsh_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = _score_pairs(emb, id_col, vec_col, cand)
+    scored = _score_pairs(emb, id_col, vec_col, cand, n=n)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
