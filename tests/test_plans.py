@@ -92,3 +92,40 @@ def test_whole_stage_codegen_on_flagship(spark, sf_dir):
 def test_lsh_join_partition_count_bounded(spark, sf_dir):
     # AQE must be allowed to coalesce; the session factory enables it.
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir):
+    # Co-located join: both sides bucketed on the join key with the same
+    # bucket count -> SortMergeJoin with NO Exchange on either side.
+    from udacity_capstone_data_engineering_spark.sources import write_bucketed
+    from udacity_capstone_data_engineering_spark.sources.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(
+        orders, "orders_bkt", ["o_orderkey"], 8, sort_by=["o_orderkey"]
+    )
+    write_bucketed(
+        lineitem, "lineitem_bkt", ["l_orderkey"], 8, sort_by=["l_orderkey"]
+    )
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("orders_bkt")
+            .join(
+                spark.table("lineitem_bkt"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        joined.collect()
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        join_side = plan.split("SortMergeJoin")[-1]
+        assert "Exchange" not in join_side, "bucketed join still shuffles"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS lineitem_bkt")

@@ -6,7 +6,10 @@ from udacity_capstone_data_engineering_spark.sources.readers import (
     read_parquet,
     table_from_rows,
 )
-from udacity_capstone_data_engineering_spark.sources.sinks import write_parquet
+from udacity_capstone_data_engineering_spark.sources.sinks import (
+    write_bucketed,
+    write_parquet,
+)
 
 __all__ = [
     "TABLES",
@@ -15,5 +18,6 @@ __all__ = [
     "read_csv",
     "read_parquet",
     "table_from_rows",
+    "write_bucketed",
     "write_parquet",
 ]

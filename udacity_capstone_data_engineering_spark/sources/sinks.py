@@ -34,3 +34,31 @@ def write_parquet(
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(path)
     return path
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    num_buckets: int,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+    file_format: str = "parquet",
+) -> str:
+    """Write ``df`` as a bucketed (and optionally sorted) catalog table.
+
+    The co-location lever the reference never reached for: two tables
+    bucketed on their join key with the SAME bucket count join with NO
+    exchange on either side — at 100 TB that deletes the dominant cost
+    of every recurring fact-to-fact join (both full-table shuffles).
+    Pick ``num_buckets`` so one bucket of the larger table fits an
+    executor core's memory budget; pair with ``sort_by`` on the join
+    key so the sort-merge join also skips its per-task sort.
+    """
+    writer = (
+        df.write.mode(mode).format(file_format).bucketBy(num_buckets, *bucket_by)
+    )
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)
+    return table
