@@ -176,3 +176,21 @@ def test_simhash_similar_docs_close(spark):
     sigs = {r.doc_id: r.simhash for r in simhash(df, "text", "doc_id").collect()}
     ham = lambda a, b: bin(a ^ b).count("1")
     assert ham(sigs[1], sigs[2]) < ham(sigs[1], sigs[3])
+
+
+def test_upsert_latest_wins_updates_and_inserts(spark):
+    from udacity_capstone_data_engineering_spark.operators.merge import (
+        upsert_latest_wins,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)], "k long, v string, src int"
+    )
+    upd = spark.createDataFrame(
+        [(2, "B", 2), (4, "D", 2)], "k long, v string, src int"
+    )
+    out = {
+        r.k: (r.v, r.src)
+        for r in upsert_latest_wins(base, upd, ["k"], ["src"]).collect()
+    }
+    assert out == {1: ("a", 1), 2: ("B", 2), 3: ("c", 1), 4: ("D", 2)}

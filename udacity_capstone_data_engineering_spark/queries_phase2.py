@@ -718,3 +718,48 @@ def embedding_dup_pairs(spark, sf_dir):
             F.round(cos, 6).alias("cosine"),
         )
     )
+
+
+@_register(
+    "upsert_orders_latest",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(o_totalprice AS DOUBLE) AS total, 1 AS src
+      FROM orders
+    ), upd AS (
+      SELECT o_orderkey, 'X' AS o_orderstatus,
+             CAST(o_totalprice AS DOUBLE) AS total, 2 AS src
+      FROM orders WHERE o_orderkey % 100 = 0
+    ), merged AS (
+      SELECT * FROM base UNION ALL SELECT * FROM upd
+    )
+    SELECT o_orderkey, o_orderstatus, total, src FROM merged
+    QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY src DESC) = 1
+    """,
+)
+def upsert_orders_latest(spark, sf_dir):
+    """Latest-wins upsert (MERGE INTO analogue): a simulated update
+    batch (every 100th order flipped to status X) folded into the base
+    with one key-shuffle; source rank is the precedence column."""
+    from udacity_capstone_data_engineering_spark.operators.merge import (
+        upsert_latest_wins,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("total"),
+        F.lit(1).alias("src"),
+    )
+    upd = (
+        orders.filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            F.col("o_totalprice").cast("double").alias("total"),
+            F.lit(2).alias("src"),
+        )
+    )
+    return upsert_latest_wins(base, upd, ["o_orderkey"], ["src"])
