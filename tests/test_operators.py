@@ -194,3 +194,28 @@ def test_upsert_latest_wins_updates_and_inserts(spark):
         for r in upsert_latest_wins(base, upd, ["k"], ["src"]).collect()
     }
     assert out == {1: ("a", 1), 2: ("B", 2), 3: ("c", 1), 4: ("D", 2)}
+
+
+def test_hash_split_deterministic_and_proportional(spark, sf_dir):
+    from udacity_capstone_data_engineering_spark.operators.sampling import (
+        hash_sample,
+        hash_split,
+    )
+    from udacity_capstone_data_engineering_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    fr = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    a = {r.doc_id: r.split for r in hash_split(docs, "doc_id", fr).collect()}
+    # repartitioning must not move any row between splits
+    b = {
+        r.doc_id: r.split
+        for r in hash_split(docs.repartition(7), "doc_id", fr).collect()
+    }
+    assert a == b
+    n = len(a)
+    train = sum(1 for s in a.values() if s == "train")
+    assert 0.7 < train / n < 0.9
+    # sample ⊆ split-train relationship isn't required; just determinism
+    s1 = {r.doc_id for r in hash_sample(docs, "doc_id", 0.2, seed=3).collect()}
+    s2 = {r.doc_id for r in hash_sample(docs.repartition(5), "doc_id", 0.2, seed=3).collect()}
+    assert s1 == s2 and 0 < len(s1) < n

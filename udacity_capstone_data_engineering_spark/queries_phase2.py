@@ -22,6 +22,7 @@ from udacity_capstone_data_engineering_spark.queries import (
     _register,
 )
 from udacity_capstone_data_engineering_spark.operators.joins import equi_join
+from udacity_capstone_data_engineering_spark.operators.windows import top_k_per_group
 from udacity_capstone_data_engineering_spark.sources.catalog import load_table
 
 
@@ -763,3 +764,55 @@ def upsert_orders_latest(spark, sf_dir):
         )
     )
     return upsert_latest_wins(base, upd, ["o_orderkey"], ["src"])
+
+
+def _split_fracs():
+    return {"train": 0.8, "valid": 0.1, "test": 0.1}
+
+
+def _split_oracle_sql():
+    from udacity_capstone_data_engineering_spark.operators.sampling import (
+        hash_split_case_sql,
+    )
+
+    case = hash_split_case_sql("doc_id", _split_fracs(), seed=7)
+    return f"""
+    SELECT doc_id, lang, {case} AS split FROM documents
+    """
+
+
+@_register("train_valid_test_split", _split_oracle_sql())
+def train_valid_test_split(spark, sf_dir):
+    """Deterministic 80/10/10 split by key hash: assignment is a pure
+    function of doc_id, so it survives repartitioning, reruns, engine
+    migration, and incremental appends (``operators/sampling.py``)."""
+    from udacity_capstone_data_engineering_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(
+        docs.select("doc_id", "lang"), "doc_id", _split_fracs(), seed=7
+    )
+
+
+@_register(
+    "cap_docs_per_source_lang",
+    """
+    SELECT doc_id, source, lang, rnk FROM (
+      SELECT doc_id, source, lang,
+             row_number() OVER (PARTITION BY source, lang ORDER BY n_chars DESC, doc_id) AS rnk
+      FROM documents
+    ) WHERE rnk <= 5
+    """,
+)
+def cap_docs_per_source_lang(spark, sf_dir):
+    """Per-group document cap — 'at most N docs per (source, lang),
+    longest first' — the curation diet that bounds any one domain's
+    contribution to a training mix. One shuffle; the rank predicate is
+    pushed into the shuffle as WindowGroupLimit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return top_k_per_group(
+        docs.select("doc_id", "source", "lang", "n_chars"),
+        ["source", "lang"],
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        5,
+    ).select("doc_id", "source", "lang", "rnk")
