@@ -130,3 +130,12 @@ def lang_id(text: Column | str) -> Column:
 def fingerprint(text: Column | str) -> Column:
     """60-bit engine-portable document fingerprint (exact-dup key)."""
     return portable_hash64(text)
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical text form for fingerprinting/dedup: lowercase,
+    whitespace runs collapsed to single spaces, trimmed. Pure builtin
+    regexp — codegen'd, engine-portable (same regex class semantics in
+    DuckDB with the 'g' flag)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))

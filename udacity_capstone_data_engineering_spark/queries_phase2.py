@@ -816,3 +816,77 @@ def cap_docs_per_source_lang(spark, sf_dir):
         [F.col("n_chars").desc(), F.col("doc_id")],
         5,
     ).select("doc_id", "source", "lang", "rnk")
+
+
+@_register(
+    "normalized_docs",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
+    FROM documents
+    """,
+)
+def normalized_docs(spark, sf_dir):
+    """Canonical text normalization (lowercase, collapse whitespace,
+    trim) — the step before any fingerprint/shingle so trivially-
+    different bytes dedup together."""
+    from udacity_capstone_data_engineering_spark.functions.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", normalize_text("text").alias("norm_text"))
+
+
+@_register(
+    "source_mixing_weights",
+    """
+    SELECT source, n_docs,
+           ROUND(sqrt(n_docs) / SUM(sqrt(n_docs)) OVER (), 6) AS weight
+    FROM (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+    """,
+)
+def source_mixing_weights(spark, sf_dir):
+    """Training-mix weighting: per-source sampling weight proportional
+    to n^0.5 — the standard temperature-style upweighting of small
+    sources against head domains. Aggregate first (|sources| rows),
+    then one single-partition window over that tiny result."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = Window.partitionBy()
+    return counts.select(
+        "source",
+        "n_docs",
+        F.round(
+            F.sqrt(F.col("n_docs")) / F.sum(F.sqrt(F.col("n_docs"))).over(total), 6
+        ).alias("weight"),
+    )
+
+
+@_register(
+    "doc_length_trim",
+    """
+    WITH q AS (
+      SELECT lang,
+             quantile_cont(n_chars, 0.05) AS lo,
+             quantile_cont(n_chars, 0.95) AS hi
+      FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d JOIN q ON d.lang = q.lang
+    WHERE d.n_chars BETWEEN q.lo AND q.hi
+    """,
+)
+def doc_length_trim(spark, sf_dir):
+    """Quantile-based outlier trim: keep docs within their language's
+    [p05, p95] length band — the curation filter that drops truncated
+    fragments and runaway concatenations. The per-lang bounds table is
+    |langs| rows → broadcast; the big side never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.05)").alias("lo"),
+        F.expr("percentile(n_chars, 0.95)").alias("hi"),
+    )
+    return (
+        docs.join(F.broadcast(q), "lang")
+        .filter(F.col("n_chars").between(F.col("lo"), F.col("hi")))
+        .select("doc_id", "lang", "n_chars")
+    )
