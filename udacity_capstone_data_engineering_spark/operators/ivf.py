@@ -96,24 +96,18 @@ def ivf_topk(
     cell is among the query's ``nprobe`` nearest cells."""
     import math
 
-    from udacity_capstone_data_engineering_spark.functions.vectors import l2_norm
+    from udacity_capstone_data_engineering_spark.operators.similarity import (
+        _score_pairs,
+        _unit_vectors,
+    )
 
     n = emb.count()  # counted ONCE; reused by fit + scoring-path choice
     if n_centroids is None:
         n_centroids = max(16, int(math.sqrt(max(n, 256))))
     centers = _fit_centroids(emb, vec_col, n_centroids, seed, fit_sample, n=n)
 
-    v = emb.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-    ).select(
-        F.col(id_col), F.col("__v"), l2_norm(F.col("__v")).alias("__n")
-    ).select(
-        F.col(id_col),
-        F.when(
-            F.col("__n") > 0,
-            F.transform(F.col("__v"), lambda x: x / F.col("__n")),
-        ).alias("uv"),
-    ).filter(F.col("uv").isNotNull())
+    unit = _unit_vectors(emb, id_col, vec_col)
+    v = unit.filter(F.col("uv").isNotNull())
 
     probe = _probe_cells_udf(centers, nprobe)
     # Persisted: both branches below (assignment + probes) read it, and
@@ -133,11 +127,7 @@ def ivf_topk(
     cands = probes.join(assigned, "cell").filter(
         F.col("query_id") != F.col("neighbor_id")
     ).select("query_id", "neighbor_id")
-    from udacity_capstone_data_engineering_spark.operators.similarity import (
-        _score_pairs,
-    )
-
-    scored = _score_pairs(emb, id_col, vec_col, cands, n=n)
+    scored = _score_pairs(emb, id_col, vec_col, cands, n=n, unit=unit)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )

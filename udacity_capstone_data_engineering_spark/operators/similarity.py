@@ -124,7 +124,31 @@ def lsh_bucket_keys(
 BROADCAST_SCORE_MAX_VECTORS = 2_000_000
 
 
-def _score_pairs(emb, id_col: str, vec_col: str, cand, n: int | None = None):
+def _unit_vectors(emb, id_col: str, vec_col: str):
+    """(id, uv) with uv the L2-normalized double vector; zero-norm →
+    NULL uv (ANSI /0 raises), which yields NULL cosine ranked last —
+    degenerate vectors never crash the job."""
+    from udacity_capstone_data_engineering_spark.functions.vectors import l2_norm
+
+    return emb.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).select(
+        F.col(id_col),
+        F.col("__v"),
+        l2_norm(F.col("__v")).alias("__n"),  # bound: computed once per row
+    ).select(
+        F.col(id_col),
+        F.when(
+            F.col("__n") > 0,
+            F.transform(F.col("__v"), lambda x: x / F.col("__n")),
+        ).alias("uv"),
+    )
+
+
+def _score_pairs(
+    emb, id_col: str, vec_col: str, cand, n: int | None = None, unit=None
+):
     """Cosine for candidate (query_id, neighbor_id) pairs.
 
     Fast path: broadcast the normalized vector matrix (corpus is small
@@ -135,33 +159,25 @@ def _score_pairs(emb, id_col: str, vec_col: str, cand, n: int | None = None):
 
     Fallback (corpus too big to replicate): two equi-joins bringing the
     unit vectors to the pairs, scored with the builtin dot.
+
+    ``unit``: optionally a precomputed ``(id, uv)`` DataFrame from
+    :func:`_unit_vectors`, so callers that already normalized (IVF's
+    probe stage) don't pay the normalization scan twice.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    from udacity_capstone_data_engineering_spark.functions.vectors import dot, l2_norm
+    from udacity_capstone_data_engineering_spark.functions.vectors import dot
 
     spark = emb.sparkSession
     if n is None:
         n = emb.count()
 
-    unit = emb.select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("__v"),
-    ).select(
-        F.col(id_col),
-        F.col("__v"),
-        l2_norm(F.col("__v")).alias("__n"),  # bound: computed once per row
-    ).select(
-        F.col(id_col),
-        # zero-norm → NULL unit vector (ANSI /0 raises); NULL uv yields
-        # NULL cosine, ranked last — degenerate vectors never crash the job.
-        F.when(
-            F.col("__n") > 0,
-            F.transform(F.col("__v"), lambda x: x / F.col("__n")),
-        ).alias("uv"),
-    )
+    if unit is not None:
+        unit = unit.select(F.col(id_col), F.col("uv"))
+    else:
+        unit = _unit_vectors(emb, id_col, vec_col)
 
     if n <= BROADCAST_SCORE_MAX_VECTORS:
         rows = unit.filter(F.col("uv").isNotNull()).collect()
