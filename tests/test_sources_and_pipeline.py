@@ -122,3 +122,27 @@ def test_lsh_recall_vs_brute_force(spark, sf_dir):
     # 16 tables x 4 planes measured ~0.9 recall@5 on these embeddings;
     # assert with slack against seed drift.
     assert recall > 0.6, f"LSH recall collapsed: {recall}"
+
+
+def test_schema_evolution_merged_read_and_union(spark, tmp_path):
+    from udacity_capstone_data_engineering_spark.operators.setops import union_evolved
+    from udacity_capstone_data_engineering_spark.sources.readers import (
+        read_parquet_evolved,
+    )
+
+    v1 = spark.createDataFrame([(1, "a")], "id long, name string")
+    v2 = spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    )
+    p1, p2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    v1.write.parquet(p1)
+    v2.write.parquet(p2)
+
+    merged = read_parquet_evolved(spark, p1, p2)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows == {1: None, 2: 9.5}
+
+    unioned = union_evolved(v1, v2)
+    assert set(unioned.columns) == {"id", "name", "score"}
+    assert {r.id: r.score for r in unioned.collect()} == rows

@@ -10,6 +10,13 @@ def union_all(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.unionByName(b)
 
 
+def union_evolved(a: DataFrame, b: DataFrame) -> DataFrame:
+    """UNION ALL across an evolved schema: columns present on only one
+    side come back NULL on the other (``allowMissingColumns``) — the
+    in-flight counterpart of ``read_parquet_evolved``'s mergeSchema."""
+    return a.unionByName(b, allowMissingColumns=True)
+
+
 def union_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.unionByName(b).distinct()
 

@@ -25,6 +25,19 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_parquet_evolved(spark: SparkSession, *paths: str) -> DataFrame:
+    """Parquet scan across snapshots whose schemas evolved (columns
+    added over time): ``mergeSchema`` unions the footers' schemas and
+    fills absent columns with NULL.
+
+    Scale note: schema merging reads every file's FOOTER up front — on
+    a 100 TB lake keep it off (the default) for stable-schema tables
+    and reach for this reader only at true evolution boundaries, or
+    persist the merged schema once and pass it explicitly thereafter.
+    """
+    return spark.read.option("mergeSchema", True).parquet(*paths)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
