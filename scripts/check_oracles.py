@@ -1,0 +1,121 @@
+"""Self-check: replay the driver's correctness gate locally.
+
+For every key in `__spark_entry__.queries()` that has an entry in
+`oracle_sql()`, run the Spark query and the DuckDB oracle on the same
+sf-dir parquet tables and compare: row count, column-name set, and an
+order-insensitive value hash (columns sorted by name, rows sorted,
+values canonicalised). Prints one line per query and a final summary.
+
+Usage: python scripts/check_oracles.py [sf_dir] [only_query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+from datetime import date, datetime
+from decimal import Decimal
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from udacity_capstone_data_engineering_spark import get_spark
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def canon(v):
+    """Canonicalise a cell so Spark and DuckDB values compare equal."""
+    if v is None:
+        return None
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # round to tame float-path differences between engines
+        return round(v, 6)
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ")
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(canon(x) for x in v)
+    if isinstance(v, bytearray):
+        return bytes(v)
+    return v
+
+
+def table_sig(cols, rows):
+    cols = list(cols)
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    sorted_cols = [cols[i] for i in order]
+    body = sorted(
+        tuple(repr(canon(r[i])) for i in order) for r in rows
+    )
+    return sorted_cols, len(rows), hash(tuple(map(tuple, body)))
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    skipped = []
+    names = [k for k in queries if not only or k in only]
+    for name in names:
+        if name not in oracles:
+            skipped.append(name)
+            continue
+        try:
+            sdf = queries[name](spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+            d = con.execute(oracles[name])
+            d_cols = [c[0] for c in d.description]
+            d_rows = [tuple(r) for r in d.fetchall()]
+        except Exception as exc:  # noqa: BLE001
+            failures.append((name, f"ERROR {type(exc).__name__}: {exc}"))
+            print(f"FAIL  {name}: {type(exc).__name__}: {exc}")
+            continue
+        sc, sn, sh = table_sig(s_cols, s_rows)
+        dc, dn, dh = table_sig(d_cols, d_rows)
+        if sc != dc:
+            failures.append((name, f"schema {sc} != {dc}"))
+            print(f"FAIL  {name}: schema spark={sc} duckdb={dc}")
+        elif sn != dn:
+            failures.append((name, f"rows {sn} != {dn}"))
+            print(f"FAIL  {name}: rowcount spark={sn} duckdb={dn}")
+        elif sh != dh:
+            failures.append((name, "value-hash mismatch"))
+            print(f"FAIL  {name}: value-hash mismatch ({sn} rows)")
+        else:
+            print(f"ok    {name} ({sn} rows)")
+
+    print(
+        f"\n{len(names) - len(skipped) - len(failures)} matched, "
+        f"{len(failures)} failed, {len(skipped)} rows-only (no oracle)"
+    )
+    if skipped:
+        print("rows-only:", " ".join(sorted(skipped)))
+    if failures:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -65,8 +65,8 @@ def string_functions(spark, sf_dir):
     """
     SELECT l_orderkey, l_linenumber,
            abs(l_discount - 0.05) AS disc_dev,
-           ceil(l_quantity / 7) AS qty_ceil7,
-           floor(sqrt(l_extendedprice)) AS price_sqrt_floor,
+           CAST(ceil(l_quantity / 7) AS BIGINT) AS qty_ceil7,
+           CAST(floor(sqrt(l_extendedprice)) AS BIGINT) AS price_sqrt_floor,
            ROUND(ln(l_extendedprice + 1), 6) AS price_ln,
            CAST(pow(l_quantity, 2) AS DOUBLE) AS qty_sq,
            CAST(l_quantity AS BIGINT) % 5 AS qty_mod5,
