@@ -55,6 +55,32 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    multiline: bool = False,
+) -> DataFrame:
+    """JSON-lines reader (one record per line; ``multiline=True`` for
+    pretty-printed arrays).
+
+    Prefer an explicit ``schema``: inference scans the whole input once
+    before the real job, and on a 100 TB landing zone that doubles the
+    read. JSONL (the default) splits by line so it parallelizes across
+    executors; multiLine JSON gives one task per FILE — keep such files
+    small or convert at the edge.
+    """
+    reader = spark.read.option("multiLine", multiline)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning guarantees as parquet."""
+    return spark.read.orc(path)
+
+
 def table_from_rows(
     spark: SparkSession, rows: Iterable[tuple], schema: StructType | str
 ) -> DataFrame:

@@ -62,3 +62,25 @@ def write_bucketed(
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(table)
     return table
+
+
+def write_files(
+    df: DataFrame,
+    base_path: str,
+    name: str,
+    file_format: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> str:
+    """Format-generic file sink (parquet / orc / json / csv).
+
+    JSON and CSV are interchange formats only — no column pruning, no
+    predicate pushdown, ~5-10x the bytes of parquet at 100 TB; keep
+    them at the pipeline edge and store intermediates columnar.
+    """
+    path = posixpath.join(base_path, name)
+    writer = df.write.mode(mode).format(file_format)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+    return path
