@@ -890,3 +890,57 @@ def doc_length_trim(spark, sf_dir):
         .filter(F.col("n_chars").between(F.col("lo"), F.col("hi")))
         .select("doc_id", "lang", "n_chars")
     )
+
+
+@_register(
+    "array_functions",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+           list_contains(toks, 'the') AS has_the,
+           toks[1:3] AS first3,
+           list_aggregate(toks, 'max') AS max_token
+    FROM t
+    """,
+)
+def array_functions(spark, sf_dir):
+    """Array/list scalar coverage: size, distinct, contains, slice, max
+    — all JVM builtins over one bound token column (the HOF no-CSE rule:
+    project the split ONCE, then reuse it)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("toks")
+    )
+    return t.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("n_unique"),
+        F.array_contains("toks", "the").alias("has_the"),
+        F.slice("toks", 1, 3).alias("first3"),
+        F.array_max("toks").alias("max_token"),
+    )
+
+
+@_register(
+    "nations_per_region_array",
+    """
+    SELECT r.r_name, list_sort(array_agg(n.n_name)) AS nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def nations_per_region_array(spark, sf_dir):
+    """collect_list into a sorted array column (typed sibling of the
+    string_agg query): collect order is nondeterministic under
+    parallelism, so ``sort_array`` is mandatory for a stable result."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = nation.join(
+        F.broadcast(region),
+        nation.n_regionkey == region.r_regionkey,
+    )
+    return joined.groupBy("r_name").agg(
+        F.sort_array(F.collect_list("n_name")).alias("nations")
+    )
