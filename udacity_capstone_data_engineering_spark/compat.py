@@ -9,9 +9,12 @@ The reference exposes (``etl.py``, ``qhi.py``):
   - ``data_exists(df, table_name)``                  (qhi.py:20-37)
   - ``check_integrity(fact, dims...)``               (qhi.py:39-91)
 
-This module keeps those call shapes so a user of the reference can
-switch imports and run the same workflow, with the reference's defects
-corrected (documented per function): sane paths instead of the broken
+This module keeps those call shapes — except ``run_pipeline``, which
+now takes the four input DataFrames explicitly instead of reading
+hard-coded paths (the engine separates reading from transforming, so a
+reference call site must add the four ``read_*`` results) — so a user
+of the reference can switch imports and run the same workflow, with
+the reference's defects corrected (documented per function): sane paths instead of the broken
 ``s3a//`` relative-dir and Windows backslash joins (etl.py:302,180),
 fill-9-not-0 (etl.py:170-171), a temperature join that actually
 matches (etl.py:212,218), no Python date UDF (etl.py:255-257), and a

@@ -125,6 +125,12 @@ def lsh_candidate_pairs(
     are the skew risk — their pair count is quadratic in bucket size,
     which is inherent to LSH; AQE splits the skewed partitions.
     """
+    if num_hashes % bands != 0:
+        # 'No silent caps' rule: flooring rows_per_band would quietly
+        # drop trailing hash slots and reduce recall with no signal.
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
     rows_per_band = num_hashes // bands
     # NULL signatures (short docs) are skipped via explode-of-NULL
     # (yields zero rows) rather than a .filter(isNotNull): Catalyst

@@ -42,11 +42,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def event_timestamp(col="ts"):
-    """Nanos-since-epoch long → TimestampType (truncated to micros)."""
+    """Nanos-since-epoch long → TimestampType (truncated to micros).
+
+    Integer division, NOT ``(c / 1000).cast("long")``: double division
+    of int64 nanos > 2^53 loses up to ~128 ns, enough to misbucket an
+    event at a window boundary (ADVICE r1)."""
     from pyspark.sql import functions as F
 
-    c = F.col(col) if isinstance(col, str) else col
-    return F.timestamp_micros((c / 1000).cast("long"))
+    if isinstance(col, str):
+        return F.timestamp_micros(F.expr(f"`{col}` div 1000"))
+    # Column input: no `div` operator on Column, so truncate exactly via
+    # decimal arithmetic (c - c % 1000 is an exact multiple of 1000).
+    c = col
+    return F.timestamp_micros(
+        ((c - c % 1000).cast("decimal(30,0)") / 1000).cast("long")
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
