@@ -100,3 +100,83 @@ def test_streaming_file_sink_partitioned(spark, sf_dir, tmp_path):
         if d.startswith("o_orderstatus=")
     }
     assert dirs == statuses
+
+
+def test_object_store_conf_builder_wiring():
+    """S9: a storage-options dict must land as fs.s3a.* confs on the
+    builder (no real S3 needed — inspect the builder's option map)."""
+    from udacity_capstone_data_engineering_spark.session import (
+        object_store_conf,
+        session_builder,
+    )
+
+    opts = dict(
+        access_key="AK",
+        secret_key="SK",
+        session_token="TK",
+        endpoint="http://minio:9000",
+        region="us-east-1",
+        path_style_access=True,
+    )
+    conf = object_store_conf(**opts)
+    assert conf["spark.hadoop.fs.s3a.access.key"] == "AK"
+    assert conf["spark.hadoop.fs.s3a.secret.key"] == "SK"
+    assert conf["spark.hadoop.fs.s3a.session.token"] == "TK"
+    assert (
+        conf["spark.hadoop.fs.s3a.aws.credentials.provider"]
+        == "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider"
+    )
+    assert conf["spark.hadoop.fs.s3a.endpoint"] == "http://minio:9000"
+    assert conf["spark.hadoop.fs.s3a.endpoint.region"] == "us-east-1"
+    assert conf["spark.hadoop.fs.s3a.path.style.access"] == "true"
+    assert conf["spark.hadoop.fs.s3a.committer.name"] == "magic"
+
+    builder = session_builder(storage_options=opts)
+    opts_map = builder._options
+    for k, v in conf.items():
+        assert opts_map.get(k) == v, k
+
+
+def test_object_store_conf_anonymous_and_default_chain():
+    from udacity_capstone_data_engineering_spark.session import object_store_conf
+
+    anon = object_store_conf(anonymous=True)
+    assert (
+        anon["spark.hadoop.fs.s3a.aws.credentials.provider"]
+        == "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider"
+    )
+    # no creds anywhere -> leave the provider chain to Hadoop defaults
+    import os as _os
+
+    saved = {
+        k: _os.environ.pop(k, None)
+        for k in ("AWS_ACCESS_KEY_ID", "AWS_SECRET_ACCESS_KEY", "AWS_SESSION_TOKEN")
+    }
+    try:
+        chain = object_store_conf()
+        assert "spark.hadoop.fs.s3a.access.key" not in chain
+        assert "spark.hadoop.fs.s3a.aws.credentials.provider" not in chain
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                _os.environ[k] = v
+
+
+def test_read_sas_plugin_error_path(spark, tmp_path):
+    """S6: without the spark-sas7bdat jar the reader must fail with the
+    exact package coordinates, not a generic datasource error."""
+    import pytest
+
+    from udacity_capstone_data_engineering_spark.sources.readers import (
+        SAS_PACKAGE,
+        read_sas,
+    )
+
+    p = tmp_path / "x.sas7bdat"
+    p.write_bytes(b"\x00" * 16)
+    with pytest.raises(ImportError, match="spark-sas7bdat"):
+        try:
+            read_sas(spark, str(p))
+        except ImportError as e:
+            assert SAS_PACKAGE in str(e)
+            raise

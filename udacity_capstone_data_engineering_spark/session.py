@@ -20,13 +20,75 @@ import os
 from pyspark.sql import SparkSession
 
 
+def object_store_conf(
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    session_token: str | None = None,
+    endpoint: str | None = None,
+    region: str | None = None,
+    path_style_access: bool | None = None,
+    anonymous: bool = False,
+) -> dict[str, str]:
+    """S9: translate a storage-options dict into the ``fs.s3a.*`` confs
+    an object-store-backed lake needs (reference ``etl.py:29-30`` pulled
+    in ``hadoop-aws`` and set AWS creds from ``dl.cfg`` env at
+    ``etl.py:293-299``; its double-``.config()`` bug meant the package
+    never actually loaded).
+
+    Credential precedence mirrors the reference's env-based flow: pass
+    keys explicitly, or omit them to fall back to ``AWS_ACCESS_KEY_ID``/
+    ``AWS_SECRET_ACCESS_KEY``/``AWS_SESSION_TOKEN`` from the environment;
+    with neither, the provider chain is left to Hadoop's default (IAM
+    instance/role credentials — what a real cluster should use).
+    """
+    conf: dict[str, str] = {}
+    access_key = access_key or os.environ.get("AWS_ACCESS_KEY_ID")
+    secret_key = secret_key or os.environ.get("AWS_SECRET_ACCESS_KEY")
+    session_token = session_token or os.environ.get("AWS_SESSION_TOKEN")
+    if anonymous:
+        conf["spark.hadoop.fs.s3a.aws.credentials.provider"] = (
+            "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider"
+        )
+    elif access_key and secret_key:
+        conf["spark.hadoop.fs.s3a.access.key"] = access_key
+        conf["spark.hadoop.fs.s3a.secret.key"] = secret_key
+        if session_token:
+            conf["spark.hadoop.fs.s3a.session.token"] = session_token
+            conf["spark.hadoop.fs.s3a.aws.credentials.provider"] = (
+                "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider"
+            )
+    if endpoint:
+        conf["spark.hadoop.fs.s3a.endpoint"] = endpoint
+    if region:
+        conf["spark.hadoop.fs.s3a.endpoint.region"] = region
+    if path_style_access is not None:
+        conf["spark.hadoop.fs.s3a.path.style.access"] = str(path_style_access).lower()
+    # Committer defaults that matter at 100 TB: the magic committer
+    # avoids the O(files) sequential rename pass of FileOutputCommitter
+    # v1 on object stores (rename = copy there).
+    conf["spark.hadoop.fs.s3a.committer.name"] = "magic"
+    conf["spark.sql.sources.commitProtocolClass"] = (
+        "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+    )
+    conf["spark.sql.parquet.output.committer.class"] = (
+        "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+    )
+    return conf
+
+
 def session_builder(
     app_name: str = "udacity_capstone_data_engineering_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    storage_options: dict | None = None,
+    hive_support: bool = False,
 ) -> SparkSession.Builder:
-    """Return a configured builder; caller may further customize."""
+    """Return a configured builder; caller may further customize.
+
+    ``storage_options``: kwargs for :func:`object_store_conf` — the
+    one-stop way to point the engine at an s3a:// lake. ``hive_support``
+    enables the Hive metastore catalog (reference ``etl.py:30``)."""
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if master is None:
         master = f"local[{cpus}]"
@@ -46,6 +108,11 @@ def session_builder(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    if storage_options is not None:
+        for k, v in object_store_conf(**storage_options).items():
+            builder = builder.config(k, v)
+    if hive_support:
+        builder = builder.enableHiveSupport()
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder

@@ -81,6 +81,33 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+# S6: the third-party SAS datasource the reference intended to load
+# (``etl.py:28``; its second ``.config()`` call at ``etl.py:29``
+# overwrote ``spark.jars.packages``, so it never actually loaded and
+# the pipeline only ever read pre-converted parquet at ``etl.py:154``).
+SAS_FORMAT = "com.github.saurfang.sas.spark"
+SAS_PACKAGE = "saurfang:spark-sas7bdat:3.0.0-s_2.12"
+
+
+def read_sas(spark: SparkSession, path: str) -> DataFrame:
+    """SAS7BDAT scan — explicit plugin point (S6).
+
+    The datasource jar is not bundled (and not installable in this
+    container); when absent, fail with the exact coordinates to add
+    rather than Spark's generic DATA_SOURCE_NOT_FOUND."""
+    try:
+        return spark.read.format(SAS_FORMAT).load(path)
+    except Exception as e:
+        if "DATA_SOURCE_NOT_FOUND" in str(e) or "Failed to find" in str(e):
+            raise ImportError(
+                "SAS7BDAT support requires the spark-sas7bdat datasource: "
+                f'add .config("spark.jars.packages", "{SAS_PACKAGE}") to the '
+                "session builder (exactly once — setting it twice overwrites, "
+                "the reference's etl.py:28-29 bug)"
+            ) from e
+        raise
+
+
 def table_from_rows(
     spark: SparkSession, rows: Iterable[tuple], schema: StructType | str
 ) -> DataFrame:
