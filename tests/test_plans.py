@@ -74,6 +74,7 @@ def test_no_python_udfs_in_relational_tier(spark, sf_dir):
         "multimodal_features",  # mapInPandas payload decode
         "embedding_ivf_topk",   # batch matmul cell assignment + scoring
         "embedding_lsh_topk",   # batch matmul bucketing + scoring
+        "ann_recall_report",    # composes the two ANN queries above
     }
     for name, fn in QUERIES.items():
         if name in declared_arrow:
@@ -197,3 +198,23 @@ def test_aqe_skew_join_splits_skewed_partitions(spark, sf_dir, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bucketed_coloc_query_no_join_shuffle(spark, sf_dir):
+    """The registered bucketed_join_coloc query must sort-merge-join
+    with zero Exchange under the join (the groupBy above it is the
+    only legitimate shuffle)."""
+    df = QUERIES["bucketed_join_coloc"](spark, sf_dir)
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan
+    below_join = plan.split("SortMergeJoin")[-1]
+    assert "Exchange" not in below_join, "bucketed gate query still shuffles"
+
+
+def test_jaccard_join_no_cartesian(spark, sf_dir):
+    """Prefix-filtered Jaccard must candidate-generate via an equi-join
+    on shingle hashes — never a cross/nested-loop join."""
+    df = QUERIES["ngram_jaccard_pairs"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

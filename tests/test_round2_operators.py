@@ -1,0 +1,199 @@
+"""Round-2 operator tests: prefix-filtered Jaccard join, winnowing
+fingerprints, BPE pre-tokenization, multimodal frame-sample/resize,
+stratified sampling."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from udacity_capstone_data_engineering_spark.operators.jaccard import (
+    jaccard_similarity_join,
+    prefix_length,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestJaccardJoin:
+    def test_matches_brute_force(self, spark):
+        # 6 docs: 0/1 identical, 2 near-dup of 0, 3/4/5 unrelated.
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [
+            (0, base),
+            (1, base),
+            (2, base + " extra"),
+            (3, "completely different words with no overlap at all here now"),
+            (4, "spark catalyst tungsten codegen shuffle partition broadcast join"),
+            (5, "short"),
+        ]
+        df = _docs(spark, rows)
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in jaccard_similarity_join(
+                df, "text", "doc_id", threshold=0.5, shingle_k=3
+            ).collect()
+        }
+
+        # Brute force over true shingle sets.
+        def shingles(t, k=3):
+            toks = t.split()
+            return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+        expect = {}
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                a, b = shingles(rows[i][1]), shingles(rows[j][1])
+                if not a or not b:
+                    continue
+                jac = len(a & b) / len(a | b)
+                if round(jac, 6) >= 0.5:
+                    expect[(rows[i][0], rows[j][0])] = round(jac, 6)
+        assert got == expect
+        assert (0, 1) in got and got[(0, 1)] == 1.0
+
+    def test_threshold_validation(self, spark):
+        df = _docs(spark, [(0, "a b c")])
+        with pytest.raises(ValueError):
+            jaccard_similarity_join(df, "text", "doc_id", threshold=0.0)
+
+    def test_prefix_length_formula(self):
+        # |S|=10, t=0.8 -> keep 10 - 8 + 1 = 3 prefix elements.
+        assert prefix_length(10, 0.8) == 3
+        assert prefix_length(1, 1.0) == 1
+        # t -> 0 keeps everything.
+        assert prefix_length(10, 0.05) == 10
+
+
+class TestWinnowing:
+    def test_shared_substring_shares_fingerprint(self, spark):
+        from udacity_capstone_data_engineering_spark.operators.dedup import (
+            winnow_fingerprints,
+        )
+
+        # Winnowing guarantee: any shared substring of length
+        # >= k + window - 1 (= 11) produces a shared fingerprint.
+        common = "zzcommonblockzz"
+        rows = [
+            (0, f"left padding words {common} more words"),
+            (1, f"other text {common} different tail"),
+            (2, "nothing like the others at all whatsoever"),
+        ]
+        fps = (
+            winnow_fingerprints(_docs(spark, rows), "text", "doc_id", k=8, window=4)
+            .groupBy("doc_id")
+            .agg(F.collect_set("fp").alias("fps"))
+            .collect()
+        )
+        by_id = {r.doc_id: set(r.fps) for r in fps}
+        assert by_id[0] & by_id[1], "shared block must share a fingerprint"
+
+    def test_short_doc_yields_no_rows(self, spark):
+        from udacity_capstone_data_engineering_spark.operators.dedup import (
+            winnow_fingerprints,
+        )
+
+        out = winnow_fingerprints(
+            _docs(spark, [(0, "tiny")]), "text", "doc_id", k=8, window=4
+        )
+        assert out.count() == 0
+
+
+class TestMultimodal:
+    def test_sample_frames_exact(self, spark):
+        from udacity_capstone_data_engineering_spark.operators.multimodal import (
+            sample_frames,
+        )
+
+        payload = bytes(range(100))  # 6 full 16-byte frames + remainder
+        df = spark.createDataFrame(
+            [(1, payload)], "doc_id long, payload binary"
+        )
+        rows = sample_frames(
+            df, "payload", "doc_id", frame_bytes=16, every=4
+        ).collect()
+        got = {(r.frame_idx, r.frame_md5) for r in rows}
+        expect = {
+            (fi, hashlib.md5(payload[fi * 16 : (fi + 1) * 16]).hexdigest())
+            for fi in (0, 4)
+        }
+        assert got == expect
+
+    def test_resize_nearest_exact(self, spark):
+        import numpy as np
+
+        from udacity_capstone_data_engineering_spark.operators.multimodal import (
+            resize_nearest,
+        )
+
+        img = np.arange(256, dtype=np.uint8)
+        df = spark.createDataFrame(
+            [(1, img.tobytes()), (2, b"too short")],
+            "doc_id long, payload binary",
+        )
+        rows = resize_nearest(
+            df, "payload", "doc_id", width=16, height=16, factor=2
+        ).collect()
+        assert {r.doc_id for r in rows} == {1}
+        got = {(r.out_row, r.out_col): r.pixel for r in rows}
+        small = img.reshape(16, 16)[::2, ::2]
+        assert len(got) == 64
+        for (r, c), v in got.items():
+            assert v == int(small[r, c])
+
+    def test_resize_validates_factor(self, spark):
+        from udacity_capstone_data_engineering_spark.operators.multimodal import (
+            resize_nearest,
+        )
+
+        df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
+        with pytest.raises(ValueError):
+            resize_nearest(df, "payload", "doc_id", width=15, height=16, factor=2)
+
+
+class TestStratifiedSample:
+    def test_fractions_and_determinism(self, spark, sf_dir):
+        from udacity_capstone_data_engineering_spark.operators.sampling import (
+            stratified_sample,
+        )
+        from udacity_capstone_data_engineering_spark.sources.catalog import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+        frs = {"en": 0.5, "es": 0.25}
+        s1 = stratified_sample(docs, "doc_id", "lang", frs, seed=11,
+                               default_fraction=0.05)
+        s2 = stratified_sample(docs.repartition(7), "doc_id", "lang", frs,
+                               seed=11, default_fraction=0.05)
+        ids1 = {r.doc_id for r in s1.collect()}
+        ids2 = {r.doc_id for r in s2.collect()}
+        assert ids1 == ids2, "sample must be partitioning-independent"
+        # Kept fraction per stratum should be in the right ballpark.
+        n_en = docs.filter(F.col("lang") == "en").count()
+        k_en = s1.filter(F.col("lang") == "en").count()
+        if n_en >= 50:
+            assert abs(k_en / n_en - 0.5) < 0.2
+
+    def test_fraction_validation(self, spark, sf_dir):
+        from udacity_capstone_data_engineering_spark.operators.sampling import (
+            stratified_sample,
+        )
+        from udacity_capstone_data_engineering_spark.sources.catalog import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        with pytest.raises(ValueError):
+            stratified_sample(docs, "doc_id", "lang", {"en": 1.5})
+
+
+class TestBpePretokens:
+    def test_segmentation(self, spark):
+        from udacity_capstone_data_engineering_spark.functions.text import (
+            bpe_pretokens,
+        )
+
+        df = spark.createDataFrame([('{"k": 69}',)], "s string")
+        toks = df.select(bpe_pretokens("s").alias("t")).collect()[0].t
+        assert toks == ['{"', "k", '":', " 69", "}"]

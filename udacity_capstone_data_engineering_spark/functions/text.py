@@ -127,6 +127,21 @@ def lang_id(text: Column | str) -> Column:
     return best_lang
 
 
+# GPT-2-style pre-tokenization classes, minus the lookahead/contraction
+# clauses so the same pattern runs identically under Java regex (Spark)
+# and RE2 (DuckDB/oracle): letter runs, digit runs, punctuation runs.
+BPE_PRETOKEN_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_pretokens(text: Column | str) -> Column:
+    """BPE-ish pre-token array: the segmentation a byte-pair-encoding
+    tokenizer applies before merges (word/number/punct runs with their
+    leading space). Counting these approximates LLM token budgets far
+    better than whitespace splitting on code/punctuation-heavy text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_PATTERN), 0)
+
+
 def fingerprint(text: Column | str) -> Column:
     """60-bit engine-portable document fingerprint (exact-dup key)."""
     return portable_hash64(text)

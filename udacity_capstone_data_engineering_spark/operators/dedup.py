@@ -206,6 +206,51 @@ def jaccard_pairs(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every character k-gram of the
+    normalized text, then keep the MINIMUM hash of each sliding window
+    of ``window`` consecutive k-gram hashes. Guarantees every match of
+    length >= k + window - 1 between two documents shares a fingerprint,
+    while storing only ~2/(window+1) of the k-gram hashes.
+
+    Output: (id, fp bigint) — one row per distinct selected fingerprint.
+    Entirely per-row builtin higher-order functions (no shuffle, no
+    UDF); at 100 TB this is a map-only stage whose output feeds the same
+    fingerprint groupBy as exact dedup.
+    """
+    from udacity_capstone_data_engineering_spark.functions.text import normalize_text
+
+    # Bind normalized text, then the k-gram hash array, as real columns:
+    # HOF lambdas are not subexpression-eliminated, so nesting would
+    # recompute normalize_text per gram and the gram hashes per window.
+    normed = df.select(F.col(id_col), normalize_text(text_col).alias("__t"))
+    n_grams = F.length("__t") - F.lit(k - 1)
+    grams = F.when(n_grams < 1, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: portable_hash64(F.col("__t").substr(i, F.lit(k))),
+        )
+    )
+    hashed = normed.select(F.col(id_col), grams.alias("__gh"))
+    n_windows = F.size("__gh") - F.lit(window - 1)
+    fps = F.when(n_windows < 1, F.array().cast("array<bigint>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_windows),
+                lambda j: F.array_min(F.slice(F.col("__gh"), j, window)),
+            )
+        )
+    )
+    return hashed.select(F.col(id_col), F.explode(fps).alias("fp"))
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
     """SimHash signature via token-hash bit voting.
 

@@ -77,3 +77,51 @@ def hash_sample(
     repeatable alternative to ``df.sample`` for data diets and debug
     subsets; the same key is kept at every scale factor."""
     return df.filter(_bucket(key, seed) < int(round(fraction * BUCKETS)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: Column | str,
+    strata_col: str,
+    fractions: dict[str, float],
+    seed: int = 0,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sampling: a different keep-fraction per
+    stratum value (the `sampleBy` shape, but hash-derived so the kept
+    set is stable across runs/engines/partitionings). Strata absent
+    from ``fractions`` keep ``default_fraction``. Shuffle-free: the
+    per-row threshold is a CASE over the stratum column."""
+    for stratum, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {stratum!r} must be in [0,1], got {frac}")
+    thresh = None
+    for stratum, frac in fractions.items():
+        t = F.lit(int(round(frac * BUCKETS)))
+        cond = F.col(strata_col) == stratum
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    thresh = thresh.otherwise(int(round(default_fraction * BUCKETS)))
+    return df.filter(_bucket(key, seed) < thresh)
+
+
+def stratified_sample_where_sql(
+    key_expr: str,
+    strata_expr: str,
+    fractions: dict[str, float],
+    seed: int = 0,
+    default_fraction: float = 0.0,
+) -> str:
+    """DuckDB spelling of :func:`stratified_sample`'s filter predicate."""
+    from udacity_capstone_data_engineering_spark.functions.hashing import (
+        portable_hash64_sql,
+    )
+
+    bucket = f"({portable_hash64_sql(f'CAST({key_expr} AS VARCHAR)', seed)} % {BUCKETS})"
+    parts = [
+        f"WHEN {strata_expr} = '{s}' THEN {int(round(f * BUCKETS))}"
+        for s, f in fractions.items()
+    ]
+    case = (
+        "CASE " + " ".join(parts) + f" ELSE {int(round(default_fraction * BUCKETS))} END"
+    )
+    return f"{bucket} < {case}"

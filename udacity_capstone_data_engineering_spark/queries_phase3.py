@@ -1,0 +1,358 @@
+"""Phase-3 query tier (round 2): exact set-similarity join, winnowing
+fingerprints, BPE-style pre-tokenization, multimodal frame-sample /
+resize plumbing, bucketed co-located joins, embedding centroids, and
+stratified sampling.
+
+Same contract as ``queries.py`` (imported at the end of that module so
+everything lands in one registry). Determinism notes follow the
+established house rules: portable md5-derived hashing for anything an
+oracle must reproduce, decimal-cast sums for cross-row float
+aggregation, ROUND(..., 6) at result edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from udacity_capstone_data_engineering_spark.queries import (
+    NEAR_DUP_THRESHOLD,
+    _SHINGLES_SQL,
+    _dec_sum_sql,
+    _register,
+)
+from udacity_capstone_data_engineering_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# Dedup: exact n-gram Jaccard similarity join (prefix-filtered)
+# ---------------------------------------------------------------------------
+
+_HASHSET_SQL = (
+    "list_distinct(list_transform(shset,"
+    " s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)))"
+)
+
+
+@_register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shset FROM documents),
+    hs AS (SELECT doc_id, {_HASHSET_SQL} AS hset FROM sh),
+    pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  len(list_intersect(a.hset, b.hset)) AS inter,
+                  len(a.hset) + len(b.hset)
+                    - len(list_intersect(a.hset, b.hset)) AS uni
+           FROM hs a JOIN hs b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           ROUND(CAST(inter AS DOUBLE) / greatest(uni, 1), 6) AS jaccard
+    FROM pr
+    WHERE ROUND(CAST(inter AS DOUBLE) / greatest(uni, 1), 6)
+          >= {NEAR_DUP_THRESHOLD}
+    """,
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    """EXACT n-gram Jaccard near-dup pairs via prefix filtering
+    (``operators/jaccard.py``) — the guaranteed-complete counterpart to
+    ``near_dup_minhash_lsh`` (which can only miss pairs, never invent
+    them). The oracle is the naive all-pairs join, so this row going
+    green proves the prefix filter generates a candidate superset (no
+    false negatives) AND the verify pass is exact. Scale shape: one
+    self-equi-join on prefix shingle hashes instead of a corpus cross
+    join."""
+    from udacity_capstone_data_engineering_spark.operators.jaccard import (
+        jaccard_similarity_join,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_similarity_join(
+        docs, "text", "doc_id", threshold=NEAR_DUP_THRESHOLD, shingle_k=5
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup: winnowing (rolling-hash) fingerprints
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "winnow_fingerprints_docs",
+    r"""
+    WITH nt AS (SELECT doc_id,
+                       trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                FROM documents),
+    g AS (SELECT doc_id,
+                 CASE WHEN strlen(t) - 7 < 1 THEN CAST([] AS BIGINT[])
+                      ELSE list_transform(range(1, strlen(t) - 7 + 1),
+                            i -> CAST('0x' || substr(
+                                   md5(substring(t, CAST(i AS INT), 8)),
+                                   1, 15) AS BIGINT))
+                 END AS gh
+          FROM nt),
+    w AS (SELECT doc_id,
+                 CASE WHEN len(gh) - 3 < 1 THEN CAST([] AS BIGINT[])
+                      ELSE list_distinct(list_transform(
+                             range(1, len(gh) - 3 + 1),
+                             j -> list_min(gh[CAST(j AS INT):CAST(j + 3 AS INT)])))
+                 END AS fps
+          FROM g)
+    SELECT doc_id, unnest(fps) AS fp FROM w
+    """,
+)
+def winnow_fingerprints_docs(spark, sf_dir):
+    """Winnowing fingerprints (rolling k-gram hash + per-window minimum,
+    the MOSS algorithm) over normalized document text — the
+    partial-overlap detector that exact fingerprints and shingle
+    Jaccard both miss. Map-only per-row stage; the exploded (doc, fp)
+    rows feed the same groupBy-fingerprint machinery as exact dedup."""
+    from udacity_capstone_data_engineering_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, "text", "doc_id", k=8, window=4)
+
+
+# ---------------------------------------------------------------------------
+# Text: BPE-style pre-tokenization statistics
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "bpe_pretoken_stats",
+    r"""
+    SELECT event_id,
+           CAST(len(regexp_extract_all(props,
+                ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS INTEGER)
+               AS n_pretokens,
+           CAST(len(regexp_extract_all(props, ' ?[A-Za-z]+')) AS INTEGER)
+               AS n_word_runs,
+           CAST(len(regexp_extract_all(props, ' ?[0-9]+')) AS INTEGER)
+               AS n_digit_runs
+    FROM events
+    """,
+)
+def bpe_pretoken_stats(spark, sf_dir):
+    """BPE-ish token counting (``functions/text.py:bpe_pretokens``) on
+    punctuation-rich text (the events JSON props): the pre-merge
+    segmentation a byte-pair tokenizer applies, which approximates LLM
+    token budgets far better than whitespace counts on code/JSON. The
+    pattern avoids lookaheads so Java regex (Spark) and RE2 (oracle)
+    agree. All JVM-side regexp builtins."""
+    from udacity_capstone_data_engineering_spark.functions.text import bpe_pretokens
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.size(bpe_pretokens("props")).alias("n_pretokens"),
+        F.size(F.regexp_extract_all("props", F.lit(r" ?[A-Za-z]+"), 0)).alias(
+            "n_word_runs"
+        ),
+        F.size(F.regexp_extract_all("props", F.lit(r" ?[0-9]+"), 0)).alias(
+            "n_digit_runs"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: frame sampling + nearest-neighbor resize (mapInPandas)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "multimodal_frame_sample",
+    # Payloads are UTF-8 bytes of ASCII text, so the oracle reproduces
+    # the byte slicing with string substring + md5 exactly.
+    """
+    WITH f AS (SELECT doc_id, strlen(text) // 16 AS nf, text FROM documents),
+    idx AS (SELECT doc_id, text, unnest(range(0, nf, 4)) AS i FROM f)
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           md5(substring(text, CAST(i * 16 + 1 AS INT), 16)) AS frame_md5
+    FROM idx
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video-style frame sampling over opaque binary payloads
+    (``operators/multimodal.py:sample_frames``): slice each payload
+    into 16-byte frames, keep every 4th, emit content hashes — via
+    Arrow-batched ``mapInPandas`` with bounded per-worker batches. The
+    oracle recomputes every kept frame's hash, so the gate checks the
+    full decode-free plumbing (offsets, batch boundaries, partial-frame
+    truncation) bit-exactly."""
+    from udacity_capstone_data_engineering_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return sample_frames(payloads, "payload", "doc_id", frame_bytes=16, every=4)
+
+
+@_register(
+    "multimodal_resize_nearest",
+    """
+    SELECT doc_id,
+           CAST(r AS INTEGER) AS out_row,
+           CAST(c AS INTEGER) AS out_col,
+           ascii(substring(text, CAST(r * 32 + c * 2 + 1 AS INT), 1)) AS pixel
+    FROM (SELECT doc_id, text FROM documents WHERE strlen(text) >= 256) d,
+         range(8) t1(r), range(8) t2(c)
+    """,
+)
+def multimodal_resize_nearest(spark, sf_dir):
+    """Image resize plumbing (``operators/multimodal.py:resize_nearest``):
+    treat the first 256 payload bytes as a 16x16 row-major grayscale
+    image and downsample 2x by nearest neighbor — vectorized numpy
+    strided slicing inside Arrow batches; payloads too short for a full
+    image produce no rows. Output pixel (r,c) = input byte at
+    (2r, 2c), which the oracle reproduces with substring+ascii on the
+    ASCII source text."""
+    from udacity_capstone_data_engineering_spark.operators.multimodal import (
+        resize_nearest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return resize_nearest(
+        payloads, "payload", "doc_id", width=16, height=16, factor=2
+    )
+
+
+# ---------------------------------------------------------------------------
+# Co-located bucketed join (S8/S9 scale lever)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "bucketed_join_coloc",
+    f"""
+    SELECT o_orderstatus, COUNT(*) AS n_items,
+           {_dec_sum_sql('l_extendedprice', 'revenue')}
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def bucketed_join_coloc(spark, sf_dir):
+    """Bucketed co-located join under the oracle gate: write lineitem
+    and orders bucketed 8 ways on the join key (sorted within buckets),
+    read both back from the catalog, and sort-merge-join WITHOUT a
+    shuffle on either side (asserted in tests/test_plans.py — zero
+    Exchange under the join). This is the recurring-join layout that
+    deletes both full-table shuffles at 100 TB; the oracle aggregate
+    over the source tables proves the bucketed write+read is lossless.
+    The merge hint pins SMJ so the demonstration doesn't degrade to a
+    broadcast at small sf."""
+    import tempfile
+
+    from udacity_capstone_data_engineering_spark.sources.sinks import write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    base = tempfile.mkdtemp(prefix="spark_bucket_gate_")
+    spark.sql("DROP TABLE IF EXISTS bucketed_orders_gate")
+    spark.sql("DROP TABLE IF EXISTS bucketed_lineitem_gate")
+    write_bucketed(
+        orders, "bucketed_orders_gate", ["o_orderkey"], 8,
+        sort_by=["o_orderkey"], path=f"{base}/orders",
+    )
+    write_bucketed(
+        lineitem, "bucketed_lineitem_gate", ["l_orderkey"], 8,
+        sort_by=["l_orderkey"], path=f"{base}/lineitem",
+    )
+    o = spark.table("bucketed_orders_gate")
+    li = spark.table("bucketed_lineitem_gate")
+    j = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: per-label centroids (array-column aggregation)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "label_centroids",
+    """
+    SELECT label, CAST(i AS INTEGER) AS idx,
+           ROUND(CAST(SUM(CAST(ROUND(CAST(embedding[CAST(i + 1 AS INT)]
+                                          AS DOUBLE), 9)
+                               AS DECIMAL(28,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS centroid,
+           COUNT(*) AS n_vecs
+    FROM embeddings, range(64) t(i)
+    GROUP BY label, i
+    """,
+)
+def label_centroids(spark, sf_dir):
+    """Per-label embedding centroids: posexplode the vector column and
+    aggregate per (label, dimension). Cross-row float sums are order-
+    dependent, so elements are rounded then summed as decimals (exact,
+    order-independent) before the final double mean — the recipe that
+    keeps a 1000-executor result hash-identical to any oracle. Shuffle
+    carries |labels| x dim partial aggregates, not vectors (map-side
+    combine)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("idx", "v"),
+    )
+    return e.groupBy("label", "idx").agg(
+        F.round(
+            F.sum(F.round(F.col("v"), 9).cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sampling: stratified deterministic sample
+# ---------------------------------------------------------------------------
+
+_STRATA_FRACTIONS = {"en": 0.5, "es": 0.25, "fr": 0.1}
+
+
+def _stratified_oracle_sql():
+    from udacity_capstone_data_engineering_spark.operators.sampling import (
+        stratified_sample_where_sql,
+    )
+
+    pred = stratified_sample_where_sql(
+        "doc_id", "lang", _STRATA_FRACTIONS, seed=11, default_fraction=0.05
+    )
+    return f"SELECT doc_id, lang, source FROM documents WHERE {pred}"
+
+
+@_register("stratified_sample_docs", _stratified_oracle_sql())
+def stratified_sample_docs(spark, sf_dir):
+    """Deterministic stratified sampling: per-language keep fractions
+    (en 50%, es 25%, fr 10%, others 5%) decided by the portable key
+    hash — the `sampleBy` shape made reproducible across runs, engines,
+    and repartitioning (``operators/sampling.py:stratified_sample``).
+    Shuffle-free: the threshold is a CASE over the stratum column."""
+    from udacity_capstone_data_engineering_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs.select("doc_id", "lang", "source"),
+        "doc_id",
+        "lang",
+        _STRATA_FRACTIONS,
+        seed=11,
+        default_fraction=0.05,
+    )

@@ -44,6 +44,7 @@ def write_bucketed(
     sort_by: list[str] | None = None,
     mode: str = "overwrite",
     file_format: str = "parquet",
+    path: str | None = None,
 ) -> str:
     """Write ``df`` as a bucketed (and optionally sorted) catalog table.
 
@@ -60,6 +61,10 @@ def write_bucketed(
     )
     if sort_by:
         writer = writer.sortBy(*sort_by)
+    if path:
+        # External table: data lands at ``path`` instead of the session
+        # warehouse dir (which defaults to the driver CWD in local mode).
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
     return table
 
