@@ -40,6 +40,13 @@ HEADLINE = [
     "salted_skew_agg",
     "embedding_lsh_topk",
     "embedding_ivf_topk",
+    # round 2 additions
+    "ngram_jaccard_pairs",
+    "winnow_fingerprints_docs",
+    "bpe_pretoken_stats",
+    "multimodal_frame_sample",
+    "bucketed_join_coloc",
+    "label_centroids",
 ]
 
 

@@ -85,6 +85,7 @@ from udacity_capstone_data_engineering_spark.operators.windows import (
 from udacity_capstone_data_engineering_spark.sources.catalog import (
     TABLES,
     event_timestamp,
+    fan_out_small_scan,
     load_table,
 )
 from udacity_capstone_data_engineering_spark.streaming.windows import (
@@ -999,7 +1000,7 @@ def minhash_rows(spark, sf_dir):
     """MinHash signatures flattened to (doc_id, seed, minhash) rows so
     the oracle comparison is plainly relational. The Spark side computes
     per-row (zero shuffle); the oracle re-derives via unnest+groupBy."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=16, shingle_k=5)
     return sigs.select(
         "doc_id", F.posexplode("signature").alias("seed", "minhash")
@@ -1063,7 +1064,7 @@ def near_dup_minhash_lsh(spark, sf_dir):
     Scale path: the corpus is never self-joined — only band buckets
     are, collapsing O(n²) to the sum of bucket sizes squared; AQE
     handles skewed (degenerate) buckets."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=16, shingle_k=5)
     pairs = lsh_candidate_pairs(sigs, "doc_id", bands=4)
     return jaccard_pairs(docs, "text", "doc_id", pairs, shingle_k=5)
@@ -1094,7 +1095,7 @@ def simhash_docs(spark, sf_dir):
     """32-bit SimHash via token-hash bit voting; near-dups differ in few
     bits. Explode + groupBy keeps the shuffle at |docs|×32 ints thanks
     to map-side partial aggregation."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     return simhash(docs, "text", "doc_id", bits=32)
 
 
@@ -1211,7 +1212,7 @@ def dedup_clusters(spark, sf_dir):
         minhash_signatures,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=16, shingle_k=5)
     cands = lsh_candidate_pairs(sigs, "doc_id", bands=4)
     edges = jaccard_pairs(docs, "text", "doc_id", cands, shingle_k=5).filter(

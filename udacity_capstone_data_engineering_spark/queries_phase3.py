@@ -20,7 +20,10 @@ from udacity_capstone_data_engineering_spark.queries import (
     _dec_sum_sql,
     _register,
 )
-from udacity_capstone_data_engineering_spark.sources.catalog import load_table
+from udacity_capstone_data_engineering_spark.sources.catalog import (
+    fan_out_small_scan,
+    load_table,
+)
 
 # ---------------------------------------------------------------------------
 # Dedup: exact n-gram Jaccard similarity join (prefix-filtered)
@@ -62,7 +65,7 @@ def ngram_jaccard_pairs(spark, sf_dir):
         jaccard_similarity_join,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     return jaccard_similarity_join(
         docs, "text", "doc_id", threshold=NEAR_DUP_THRESHOLD, shingle_k=5
     )
@@ -107,7 +110,7 @@ def winnow_fingerprints_docs(spark, sf_dir):
         winnow_fingerprints,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     return winnow_fingerprints(docs, "text", "doc_id", k=8, window=4)
 
 
@@ -182,7 +185,7 @@ def multimodal_frame_sample(spark, sf_dir):
         sample_frames,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     payloads = docs.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
@@ -212,7 +215,7 @@ def multimodal_resize_nearest(spark, sf_dir):
         resize_nearest,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     payloads = docs.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )

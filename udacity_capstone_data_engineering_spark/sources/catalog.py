@@ -59,6 +59,24 @@ def event_timestamp(col="ts"):
     )
 
 
+def fan_out_small_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Widen a too-narrow scan before a CPU-heavy per-row stage.
+
+    A small input (one parquet file / one row group) scans as ONE task,
+    which serializes any expensive map stage behind it (shingling, k-gram
+    hashing, MinHash) no matter how many cores the cluster has — measured
+    6x on winnowing at sf0.1. This repartitions ONLY when the scan has
+    fewer partitions than the session's default parallelism; at real
+    scale the scan already has >= cores partitions and this is a no-op,
+    so the big-data path never pays the round-robin shuffle.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Load several tables at once; defaults to the full catalog."""
     use = names or TABLES
