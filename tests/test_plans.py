@@ -218,3 +218,73 @@ def test_jaccard_join_no_cartesian(spark, sf_dir):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning: joining a partitioned fact on its
+    partition column against a selectively-filtered dim must insert a
+    dynamicpruning subquery at the fact scan — at 100 TB this is the
+    difference between scanning one partition's directory and the whole
+    fact table when the filter arrives via the dim side."""
+    from udacity_capstone_data_engineering_spark.sources.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    orders.withColumn(
+        "cust_bucket", (F.col("o_custkey") % 10).cast("int")
+    ).write.partitionBy("cust_bucket").parquet(str(tmp_path / "fact"))
+    fact = spark.read.parquet(str(tmp_path / "fact"))
+    dim = cust.withColumn(
+        "cust_bucket", (F.col("c_custkey") % 10).cast("int")
+    ).filter(F.col("c_mktsegment") == "BUILDING")
+    j = fact.join(dim, ["cust_bucket"]).groupBy("c_mktsegment").count()
+    assert "dynamicpruning" in _plan(j).lower()
+
+
+def test_correlated_subqueries_decorrelated(spark, sf_dir):
+    """Catalyst must rewrite the scalar/EXISTS subqueries into joins —
+    a nested-loop (per-row subquery) plan would be O(n*m) at scale."""
+    df = QUERIES["correlated_subqueries"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the EXISTS probe must become a set-based join (semi or outer+flag)
+    assert "Join" in plan
+
+
+def test_runtime_bloom_filter_join(spark, sf_dir):
+    """Runtime row-level filtering: a selective dim filter must inject a
+    bloom_filter_agg on the dim side and push the semi-filter into the
+    fact scan side of the join. At 100 TB this prunes fact rows at the
+    shuffle write, not after it. Local data is below the application-
+    side size threshold, so it is zeroed to make injection observable —
+    the assertion is about the rewrite, not the size heuristics."""
+    from udacity_capstone_data_engineering_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold":
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold":
+            spark.conf.get(
+                "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+            ),
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        assert "bloom_filter_agg" in _plan(j)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -56,6 +56,49 @@ class TestJaccardJoin:
         assert got == expect
         assert (0, 1) in got and got[(0, 1)] == 1.0
 
+    def test_randomized_corpus_matches_brute_force(self, spark):
+        # Seeded random corpus with planted mutation families: the
+        # prefix filter must reproduce brute force EXACTLY at several
+        # thresholds (no false negatives from the prefix bound, no
+        # false positives surviving verification).
+        import random
+
+        rng = random.Random(42)
+        vocab = [f"w{i}" for i in range(30)]
+        rows = []
+        doc_id = 0
+        for fam in range(8):
+            base = [rng.choice(vocab) for _ in range(rng.randint(6, 25))]
+            for _ in range(rng.randint(1, 4)):
+                mut = list(base)
+                for _ in range(rng.randint(0, 3)):
+                    mut[rng.randrange(len(mut))] = rng.choice(vocab)
+                rows.append((doc_id, " ".join(mut)))
+                doc_id += 1
+        df = _docs(spark, rows)
+
+        def shingles(t, k):
+            toks = t.split()
+            return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+        for threshold, k in [(0.3, 3), (0.6, 3), (0.9, 2)]:
+            got = {
+                (r.id_a, r.id_b): r.jaccard
+                for r in jaccard_similarity_join(
+                    df, "text", "doc_id", threshold=threshold, shingle_k=k
+                ).collect()
+            }
+            expect = {}
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    a, b = shingles(rows[i][1], k), shingles(rows[j][1], k)
+                    if not a or not b:
+                        continue
+                    jac = round(len(a & b) / len(a | b), 6)
+                    if jac >= threshold:
+                        expect[(rows[i][0], rows[j][0])] = jac
+            assert got == expect, f"mismatch at t={threshold}, k={k}"
+
     def test_threshold_validation(self, spark):
         df = _docs(spark, [(0, "a b c")])
         with pytest.raises(ValueError):

@@ -21,6 +21,7 @@ from udacity_capstone_data_engineering_spark.queries import (
     _register,
 )
 from udacity_capstone_data_engineering_spark.sources.catalog import (
+    event_timestamp,
     fan_out_small_scan,
     load_table,
 )
@@ -185,7 +186,11 @@ def multimodal_frame_sample(spark, sf_dir):
         sample_frames,
     )
 
-    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    # No fan_out_small_scan: the per-row work here is light, and at
+    # small sf the per-partition Python-worker spinup + shuffle cost
+    # more than the parallelism gains (measured 0.32s -> 0.54s). A real
+    # payload corpus arrives in many files and parallelizes at the scan.
+    docs = load_table(spark, sf_dir, "documents")
     payloads = docs.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
@@ -215,7 +220,8 @@ def multimodal_resize_nearest(spark, sf_dir):
         resize_nearest,
     )
 
-    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    # See multimodal_frame_sample for why this scan is not fanned out.
+    docs = load_table(spark, sf_dir, "documents")
     payloads = docs.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
@@ -358,4 +364,113 @@ def stratified_sample_docs(spark, sf_dir):
         _STRATA_FRACTIONS,
         seed=11,
         default_fraction=0.05,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL entry: correlated subqueries (Catalyst decorrelation)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "correlated_subqueries",
+    """
+    SELECT c_custkey, c_mktsegment,
+           (SELECT COUNT(*) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS n_orders,
+           EXISTS(SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000) AS has_big_order
+    FROM customer c
+    """,
+)
+def correlated_subqueries(spark, sf_dir):
+    """Correlated scalar + EXISTS subqueries through the SQL entry.
+    Catalyst decorrelates both into joins (scalar COUNT becomes a
+    left-joined aggregate, EXISTS a left-semi probe) — the rewrite that
+    makes per-row-looking SQL run as two set-based joins instead of
+    |customer| nested scans at 100 TB."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("cust_cs")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_cs")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment,
+               (SELECT COUNT(*) FROM orders_cs o
+                WHERE o.o_custkey = c.c_custkey) AS n_orders,
+               EXISTS(SELECT 1 FROM orders_cs o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000) AS has_big_order
+        FROM cust_cs c
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill + forward fill
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "events_gap_fill",
+    """
+    WITH agg AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      FROM events WHERE user_id < 10 GROUP BY 1, 2
+    ), b AS (
+      SELECT user_id, min(h) AS mn, max(h) AS mx FROM agg GROUP BY 1
+    ), hours AS (
+      SELECT user_id,
+             unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+      FROM b
+    )
+    SELECT hours.user_id, hours.h,
+           agg.v AS raw_v,
+           last_value(agg.v IGNORE NULLS)
+               OVER (PARTITION BY hours.user_id ORDER BY hours.h) AS filled_v
+    FROM hours LEFT JOIN agg
+      ON hours.user_id = agg.user_id AND hours.h = agg.h
+    """,
+)
+def events_gap_fill(spark, sf_dir):
+    """Time-series gap fill (the hypertable/continuous-aggregate shape):
+    per-user hourly sums, a dense hour spine generated per user with
+    ``sequence`` (no calendar table, no cross join), left-join the
+    sparse aggregates onto the spine, then forward-fill gaps with
+    ``last(..., ignorenulls)`` over an unbounded-preceding frame. Two
+    shuffles total (the agg and the spine join share the user_id key;
+    the window reuses the join's partitioning)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_utc", event_timestamp("ts")
+    )
+    agg = (
+        ev.filter(F.col("user_id") < 10)
+        .groupBy(
+            "user_id", F.date_trunc("hour", "ts_utc").alias("h")
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v"))
+    )
+    spine = (
+        agg.groupBy("user_id")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("interval 1 hour"))
+            ).alias("h"),
+        )
+    )
+    from pyspark.sql import Window
+
+    joined = spine.join(agg, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        "h",
+        F.col("v").alias("raw_v"),
+        F.last("v", ignorenulls=True).over(w).alias("filled_v"),
     )
