@@ -47,6 +47,8 @@ HEADLINE = [
     "multimodal_frame_sample",
     "bucketed_join_coloc",
     "label_centroids",
+    "events_gap_fill",
+    "scd2_customer_status",
 ]
 
 

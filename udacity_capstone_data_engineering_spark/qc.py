@@ -58,6 +58,38 @@ def duplicate_rows(df: DataFrame, cols: list[str], name: str = "dups") -> QCResu
     return QCResult(f"dups:{name}", n == 0, f"{n} duplicate rows")
 
 
+def check_expectations(
+    df: DataFrame, rules: list[tuple[str, "F.Column"]]
+) -> DataFrame:
+    """Declarative row-level expectations (the expectations-framework
+    shape): each rule is (name, boolean Column that should hold for
+    every row). Returns one row per rule: (rule, violations, n_rows).
+
+    ONE aggregate pass over the table no matter how many rules —
+    violations are conditional counts, combined map-side — so adding a
+    rule costs an expression, not a scan. NULL rule results count as
+    violations (three-valued logic: an unknown is not a pass).
+    """
+    aggs = [
+        F.sum(
+            F.when(F.coalesce(cond.cast("boolean"), F.lit(False)), 0).otherwise(1)
+        ).alias(name)
+        for name, cond in rules
+    ]
+    wide = df.agg(*aggs, F.count(F.lit(1)).alias("__n"))
+    names = [name for name, _ in rules]
+    stacked = wide.select(
+        F.expr(
+            "stack({}, {}) as (rule, violations)".format(
+                len(names),
+                ", ".join(f"'{n}', `{n}`" for n in names),
+            )
+        ),
+        F.col("__n").alias("n_rows"),
+    )
+    return stacked.select("rule", "violations", "n_rows")
+
+
 def run_suite(checks: list[QCResult]) -> bool:
     """All checks must pass (the reference ANDed failure flags —
     ``qhi.py:91`` — returning True iff everything FAILED)."""

@@ -474,3 +474,209 @@ def events_gap_fill(spark, sf_dir):
         F.col("v").alias("raw_v"),
         F.last("v", ignorenulls=True).over(w).alias("filled_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data layout: Z-order (Morton) keys
+# ---------------------------------------------------------------------------
+
+
+def _zorder_oracle_sql():
+    from udacity_capstone_data_engineering_spark.functions.zorder import (
+        morton_code_sql,
+    )
+
+    z = morton_code_sql("p_size", "p_partkey % 256", bits=8)
+    return f"SELECT p_partkey, p_size, {z} AS zval FROM part"
+
+
+@_register("zorder_layout_keys", _zorder_oracle_sql())
+def zorder_layout_keys(spark, sf_dir):
+    """Z-order (Morton) layout keys (``functions/zorder.py``): bit-
+    interleave two quantized dimensions so sorting by the code before a
+    partitioned write gives every output file a compact 2-D rectangle —
+    2-D range predicates then prune files from parquet footer stats
+    alone (measured in tests/test_round2_operators.py::TestZOrder:
+    z-sorted layout overlaps strictly fewer files than a 1-D sort for
+    the same box query). Pure JVM bit arithmetic."""
+    from udacity_capstone_data_engineering_spark.functions.zorder import morton_code
+
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        "p_size",
+        morton_code(F.col("p_size"), F.col("p_partkey") % 256, bits=8).alias(
+            "zval"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Warehouse: SCD Type-2 dimension builder
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "scd2_customer_status",
+    """
+    WITH v AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS eff_date, o_orderstatus,
+             row_number() OVER (PARTITION BY o_custkey, CAST(o_orderdate AS DATE)
+                                ORDER BY o_orderkey DESC) AS rn
+      FROM orders
+    ), d AS (SELECT o_custkey, eff_date, o_orderstatus FROM v WHERE rn = 1)
+    SELECT o_custkey, o_orderstatus AS status, eff_date AS valid_from,
+           lead(eff_date) OVER (PARTITION BY o_custkey ORDER BY eff_date)
+               AS valid_to,
+           lead(eff_date) OVER (PARTITION BY o_custkey ORDER BY eff_date)
+               IS NULL AS is_current
+    FROM d
+    """,
+)
+def scd2_customer_status(spark, sf_dir):
+    """Slowly-changing-dimension Type 2 builder: collapse a change
+    stream (latest change per key per day wins) into validity intervals
+    with ``lead`` — [valid_from, valid_to) rows plus an is_current
+    flag. This is the star-schema dimension-maintenance operator the
+    reference's monthly-batch design implies but never wrote
+    (notebook cell 45 proposes monthly refresh). One shuffle on the
+    dimension key; both windows share its partitioning."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.to_date("o_orderdate")
+    wd = Window.partitionBy("o_custkey", day).orderBy(F.col("o_orderkey").desc())
+    latest = (
+        orders.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            day.alias("eff_date"),
+            F.col("o_orderstatus").alias("status"),
+        )
+    )
+    wk = Window.partitionBy("o_custkey").orderBy("eff_date")
+    nxt = F.lead("eff_date").over(wk)
+    return latest.select(
+        "o_custkey",
+        "status",
+        F.col("eff_date").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# QC: declarative expectations
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "qc_expectations_orders",
+    """
+    SELECT rule, violations, (SELECT COUNT(*) FROM orders) AS n_rows FROM (
+      SELECT 'totalprice_positive' AS rule,
+             COUNT(*) FILTER (WHERE NOT COALESCE(o_totalprice > 0, FALSE))
+                 AS violations FROM orders
+      UNION ALL
+      SELECT 'status_in_domain',
+             COUNT(*) FILTER (WHERE NOT COALESCE(
+                 o_orderstatus IN ('F', 'O', 'P'), FALSE)) FROM orders
+      UNION ALL
+      SELECT 'orderdate_not_null',
+             COUNT(*) FILTER (WHERE o_orderdate IS NULL) FROM orders
+      UNION ALL
+      SELECT 'priority_has_rank_prefix',
+             COUNT(*) FILTER (WHERE NOT COALESCE(
+                 o_orderpriority SIMILAR TO '[0-9]-.*', FALSE)) FROM orders
+    )
+    """,
+)
+def qc_expectations_orders(spark, sf_dir):
+    """Declarative expectations (``qc.check_expectations``): named
+    row-level constraints → (rule, violations, n_rows), ALL rules in a
+    single aggregate pass (adding a rule costs an expression, not a
+    scan). NULL predicate results count as violations — three-valued
+    logic means unknown is not a pass; the reference's QC tier (§2.9)
+    had exactly this class of inversion bug."""
+    from udacity_capstone_data_engineering_spark.qc import check_expectations
+
+    orders = load_table(spark, sf_dir, "orders")
+    return check_expectations(
+        orders,
+        [
+            ("totalprice_positive", F.col("o_totalprice") > 0),
+            ("status_in_domain", F.col("o_orderstatus").isin("F", "O", "P")),
+            ("orderdate_not_null", F.col("o_orderdate").isNotNull()),
+            (
+                "priority_has_rank_prefix",
+                F.col("o_orderpriority").rlike("^[0-9]-"),
+            ),
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar coverage: bitwise ops + conditional aggregates
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "bitwise_functions",
+    """
+    SELECT p_partkey,
+           p_partkey & 255 AS low_byte,
+           p_partkey | 4096 AS with_flag,
+           xor(p_partkey, 255) AS flipped,
+           CAST(bit_count(p_partkey) AS INTEGER) AS popcount,
+           p_partkey << 2 AS shl2,
+           p_partkey >> 3 AS shr3
+    FROM part
+    """,
+)
+def bitwise_functions(spark, sf_dir):
+    """Bitwise scalar coverage: and/or/xor/popcount/shifts — the ops
+    behind bucket masks, bloom hashing, and the Z-order keys."""
+    part = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    return part.select(
+        "p_partkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(255)).alias("flipped"),
+        F.bit_count(k).alias("popcount"),
+        F.shiftleft(k, 2).alias("shl2"),
+        F.shiftright(k, 3).alias("shr3"),
+    )
+
+
+@_register(
+    "conditional_aggregates",
+    f"""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+           bool_or(o_orderstatus = 'P') AS any_pending,
+           bool_and(o_totalprice > 0) AS all_positive,
+           {_dec_sum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END",
+                         "finished_revenue")}
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def conditional_aggregates(spark, sf_dir):
+    """Conditional aggregation family: filtered counts, bool_or/
+    bool_and, conditional sums — one pass, map-side combinable (the
+    pattern the reference's cell-12 null profile pioneered, §2.4 A4)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("n_big"),
+        F.expr("bool_or(o_orderstatus = 'P')").alias("any_pending"),
+        F.expr("bool_and(o_totalprice > 0)").alias("all_positive"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+            .otherwise(0)
+            .cast("decimal(18,2)")
+        )
+        .cast("double")
+        .alias("finished_revenue"),
+    )
