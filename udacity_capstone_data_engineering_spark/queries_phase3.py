@@ -680,3 +680,46 @@ def conditional_aggregates(spark, sf_dir):
         .cast("double")
         .alias("finished_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar coverage: higher-order array functions
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "higher_order_functions",
+    r"""
+    WITH t AS (SELECT doc_id,
+                      regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(list_filter(toks, x -> strlen(x) > 4)) AS INTEGER)
+               AS n_long_tokens,
+           CAST(list_sum(list_transform(toks, x -> strlen(x))) AS BIGINT)
+               AS total_token_chars,
+           list_bool_or(list_transform(toks, x -> x = 'the')) AS has_the,
+           upper(toks[1]) AS first_upper
+    FROM t
+    """,
+)
+def higher_order_functions(spark, sf_dir):
+    """Higher-order array functions as first-class query surface:
+    filter / transform / aggregate / exists over a BOUND token column
+    (the HOF no-CSE rule: project the split once). These are the
+    building blocks the dedup/fingerprint tier composes; this query
+    pins their scalar semantics against the oracle directly."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("toks")
+    )
+    toks = F.col("toks")
+    return t.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long_tokens"),
+        F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        ).alias("total_token_chars"),
+        F.exists(toks, lambda x: x == F.lit("the")).alias("has_the"),
+        F.upper(F.element_at(toks, 1)).alias("first_upper"),
+    )
