@@ -278,3 +278,99 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
         )
         sig = bit if sig is None else sig + bit
     return voted.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    sig_col: str = "simhash",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs from SimHash signatures via Hamming-banded
+    bucketing: split each ``bits``-bit signature into ``bands`` disjoint
+    bit slices, bucket ids by (band, slice value), and verify candidate
+    pairs with ``bit_count(xor)``.
+
+    Completeness guarantee (pigeonhole): a pair at Hamming distance
+    <= bands - 1 differs in fewer bits than there are slices, so it
+    must AGREE exactly on at least one slice and lands in a shared
+    bucket. With ``max_hamming <= bands - 1`` (default: bands - 1) the
+    result is therefore EXACT — every qualifying pair is found — which
+    is why this operator carries a full hash oracle while MinHash-LSH
+    (probabilistic banding) cannot.
+
+    Scale design mirrors ``lsh_candidate_pairs``: ONE shuffle on the
+    (band, slice) key, signatures carried into the buckets so the
+    Hamming verify needs no second join, pairs enumerated JVM-side
+    inside buckets. Bucket skew (a popular slice value) is quadratic in
+    bucket size — inherent to banding; AQE splits the skewed partitions.
+    """
+    if bits % bands != 0:
+        raise ValueError(f"bits ({bits}) must be divisible by bands ({bands})")
+    if max_hamming is None:
+        max_hamming = bands - 1
+    if max_hamming > bands - 1:
+        # 'No silent caps': past bands-1 the pigeonhole guarantee breaks
+        # and the banded join silently misses pairs. Refuse rather than
+        # degrade from exact to approximate without signal.
+        raise ValueError(
+            f"max_hamming ({max_hamming}) > bands - 1 ({bands - 1}) loses the "
+            "completeness guarantee; raise bands instead"
+        )
+    bpb = bits // bands
+    mask = (1 << bpb) - 1
+    sig = F.col(sig_col).cast("bigint")
+    banded = signatures.select(
+        F.col(id_col),
+        sig.alias("__sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(sig, b * bpb)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "__sig", "bb.band", "bb.bkey")
+    buckets = (
+        banded.groupBy("band", "bkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("__sig")))
+            ).alias("ds")
+        )
+        .filter(F.size("ds") > 1)
+    )
+    # All (i < j) pairs within a bucket, enumerated JVM-side with the
+    # signatures in hand — the Hamming check happens right here, before
+    # the cross-band distinct, so non-pairs never reach the shuffle.
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ds",
+                    lambda x, i: F.filter(
+                        F.transform(
+                            F.slice(F.col("ds"), i + 2, F.size("ds")),
+                            lambda y: F.struct(
+                                x["id"].alias("id_a"),
+                                y["id"].alias("id_b"),
+                                F.bit_count(
+                                    x["__sig"].bitwiseXOR(y["__sig"])
+                                ).cast("int").alias("hamming"),
+                            ),
+                        ),
+                        lambda p: p["hamming"] <= max_hamming,
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b", "p.hamming").distinct()

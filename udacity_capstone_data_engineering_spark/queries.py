@@ -1192,6 +1192,7 @@ def oracle_sql() -> dict[str, str]:
 # Phase-2 tier registers into the same registry on import.
 from udacity_capstone_data_engineering_spark import queries_phase2  # noqa: E402,F401
 from udacity_capstone_data_engineering_spark import queries_phase3  # noqa: E402,F401
+from udacity_capstone_data_engineering_spark import queries_phase4  # noqa: E402,F401
 
 
 @_register("dedup_clusters", _DEDUP_CLUSTERS_SQL)
