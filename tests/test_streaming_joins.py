@@ -62,3 +62,77 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r.k for r in spark.sql("SELECT * FROM dedup_test").collect())
     assert got == [100, 200]
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    from udacity_capstone_data_engineering_spark.streaming.joins import (
+        interval_join_streams,
+    )
+
+    lsrc, rsrc = tmp_path / "purch", tmp_path / "views"
+    purchases = spark.createDataFrame(
+        [(1, "2024-01-01 00:02:00"), (2, "2024-01-01 00:10:00")],
+        "user_id long, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("p_ts"))
+    views = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:01:30"),  # 30s before purchase -> match
+            (1, "2024-01-01 00:05:00"),  # after purchase -> no match
+            (2, "2024-01-01 00:08:00"),  # 120s before -> outside lookback
+        ],
+        "user_id long, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("v_ts"))
+    purchases.write.parquet(str(lsrc))
+    views.write.parquet(str(rsrc))
+
+    ls = spark.readStream.schema(purchases.schema).parquet(str(lsrc))
+    rs = spark.readStream.schema(views.schema).parquet(str(rsrc))
+    joined = interval_join_streams(
+        ls, rs, "user_id", "p_ts", "v_ts",
+        left_watermark="10 minutes", right_watermark="10 minutes",
+        lookback="1 minute", lookahead="0 seconds",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_interval")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT user_id, v_ts FROM ss_interval").collect()
+    assert [(r.user_id, str(r.v_ts)) for r in rows] == [
+        (1, "2024-01-01 00:01:30")
+    ]
+
+
+def test_stream_upsert_foreachbatch(spark, tmp_path):
+    from udacity_capstone_data_engineering_spark.streaming.sinks import (
+        stream_upsert_to_parquet,
+    )
+
+    src = tmp_path / "updates"
+    base_path = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    # Two files -> maxFilesPerTrigger=1 forces two sequential merges.
+    spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b")], "k long, version long, payload string"
+    ).write.parquet(str(src))
+    spark.createDataFrame(
+        [(1, 2, "a2"), (3, 1, "c")], "k long, version long, payload string"
+    ).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("k long, version long, payload string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = stream_upsert_to_parquet(
+        stream, base_path, ckpt, keys=["k"], precedence=["version"]
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.k, r.version, r.payload)
+        for r in spark.read.parquet(base_path).collect()
+    }
+    assert got == {(1, 2, "a2"), (2, 1, "b"), (3, 1, "c")}

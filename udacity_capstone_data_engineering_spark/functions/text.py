@@ -154,3 +154,76 @@ def normalize_text(text: Column | str) -> Column:
     DuckDB with the 'g' flag)."""
     c = F.col(text) if isinstance(text, str) else text
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def gopher_quality_flags(df, text_col: str, id_col: str):
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1 —
+    the repetition/format filters most LLM data pipelines start from),
+    as one narrow map-only projection: per-doc booleans for each rule
+    plus the combined ``keep``.
+
+    Rules implemented (canonical thresholds):
+      - word count in [50, 100_000]
+      - mean word length in [3, 10]
+      - symbol-to-word ratio (# and ellipsis) <= 0.1
+      - >= 80% of words contain an alphabetic character
+      - >= 2 hits from the English stopword list
+      - <= 90% of lines bullet-started, <= 30% ellipsis-ended
+
+    Everything is builtin HOFs over a BOUND token array (computed once,
+    not per-lambda) — zero shuffles, zero UDFs; at 100 TB this is a
+    pure scan stage that fuses into whole-stage codegen.
+    """
+    t = F.col(text_col)
+    bound = df.select(
+        F.col(id_col),
+        t.alias("__text"),
+        tokens(t).alias("__toks"),
+        F.split(t, "\n").alias("__lines"),
+    )
+    n_words = F.size("__toks")
+    sum_len = F.aggregate(
+        "__toks", F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    mean_wl = F.round(sum_len / n_words, 6)
+    alpha_words = F.size(F.filter("__toks", lambda w: w.rlike("[A-Za-z]")))
+    hash_chars = F.length("__text") - F.length(F.expr("replace(__text, '#', '')"))
+    ellipses = F.floor(
+        (F.length("__text") - F.length(F.expr("replace(__text, '...', '')")))
+        / F.lit(3)
+    )
+    symbol_ratio = (hash_chars + ellipses) / n_words
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(
+        F.filter("__toks", lambda w: F.array_contains(sw, F.lower(w)))
+    )
+    n_lines = F.size("__lines")
+    bullet_lines = F.size(
+        F.filter("__lines", lambda l: F.ltrim(l).rlike("^[-*•]"))
+    )
+    ellipsis_lines = F.size(F.filter("__lines", lambda l: l.endswith("...")))
+    ok_word_count = (n_words >= 50) & (n_words <= 100_000)
+    ok_mean_wl = (mean_wl >= 3) & (mean_wl <= 10)
+    ok_symbols = symbol_ratio <= 0.1
+    ok_alpha = alpha_words / n_words >= 0.8
+    ok_stopwords = stop_hits >= 2
+    ok_lines = (bullet_lines / n_lines <= 0.9) & (ellipsis_lines / n_lines <= 0.3)
+    return bound.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        ok_word_count.alias("ok_word_count"),
+        ok_mean_wl.alias("ok_mean_word_len"),
+        ok_symbols.alias("ok_symbol_ratio"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stopwords.alias("ok_stopwords"),
+        ok_lines.alias("ok_line_format"),
+        (
+            ok_word_count
+            & ok_mean_wl
+            & ok_symbols
+            & ok_alpha
+            & ok_stopwords
+            & ok_lines
+        ).alias("keep"),
+    )

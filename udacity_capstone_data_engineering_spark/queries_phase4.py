@@ -245,3 +245,69 @@ def approx_quantile_report(spark, sf_dir):
     target = F.col("q") * F.col("n")
     ok = (F.col("below") - tol <= target) & (target <= F.col("at_or_below") + tol)
     return ranks.select(F.col("q").cast("double").alias("q"), ok.alias("within_bound"))
+
+
+# ---------------------------------------------------------------------------
+# Text quality: Gopher-style document filter rules
+# ---------------------------------------------------------------------------
+
+_EN_STOPWORDS_SQL = "'" + "','".join(
+    ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"]
+) + "'"
+
+_GOPHER_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(text), '\\s+') AS toks,
+             string_split(text, chr(10)) AS lines
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+        len(toks) AS n_words,
+        list_aggregate(list_transform(toks, w -> len(w)), 'sum') AS sum_len,
+        len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+        (len(text) - len(replace(text, '#', '')))
+          + CAST(floor((len(text) - len(replace(text, '...', ''))) / 3) AS BIGINT)
+          AS symbols,
+        len(list_filter(toks, w -> list_contains([{_EN_STOPWORDS_SQL}], lower(w))))
+          AS stop_hits,
+        len(lines) AS n_lines,
+        len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]')))
+          AS bullet_lines,
+        len(list_filter(lines, l -> l LIKE '%...')) AS ellipsis_lines
+      FROM t)
+    SELECT doc_id, n_words,
+      ROUND(CAST(sum_len AS DOUBLE) / n_words, 6) AS mean_word_len,
+      (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+      (ROUND(CAST(sum_len AS DOUBLE) / n_words, 6) >= 3
+       AND ROUND(CAST(sum_len AS DOUBLE) / n_words, 6) <= 10) AS ok_mean_word_len,
+      (CAST(symbols AS DOUBLE) / n_words <= 0.1) AS ok_symbol_ratio,
+      (CAST(alpha_words AS DOUBLE) / n_words >= 0.8) AS ok_alpha_words,
+      (stop_hits >= 2) AS ok_stopwords,
+      (CAST(bullet_lines AS DOUBLE) / n_lines <= 0.9
+       AND CAST(ellipsis_lines AS DOUBLE) / n_lines <= 0.3) AS ok_line_format,
+      ((n_words >= 50 AND n_words <= 100000)
+       AND (ROUND(CAST(sum_len AS DOUBLE) / n_words, 6) >= 3
+            AND ROUND(CAST(sum_len AS DOUBLE) / n_words, 6) <= 10)
+       AND (CAST(symbols AS DOUBLE) / n_words <= 0.1)
+       AND (CAST(alpha_words AS DOUBLE) / n_words >= 0.8)
+       AND (stop_hits >= 2)
+       AND (CAST(bullet_lines AS DOUBLE) / n_lines <= 0.9
+            AND CAST(ellipsis_lines AS DOUBLE) / n_lines <= 0.3)) AS keep
+    FROM m
+"""
+
+
+@_register("gopher_quality_flags", _GOPHER_SQL)
+def gopher_quality_flags_docs(spark, sf_dir):
+    """Gopher-rule document quality flags (word count, mean word
+    length, symbol ratio, alpha fraction, stopword floor, line format)
+    with the combined keep decision — the standard first-pass filter of
+    an LLM data pipeline, as a map-only codegen stage
+    (``functions/text.py:gopher_quality_flags``)."""
+    from udacity_capstone_data_engineering_spark.functions.text import (
+        gopher_quality_flags,
+    )
+
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    return gopher_quality_flags(docs, "text", "doc_id")

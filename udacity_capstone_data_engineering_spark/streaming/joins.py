@@ -47,3 +47,39 @@ def dedup_stream(
     O(distinct keys per horizon), not O(stream history)."""
     wm = stream.withWatermark(event_time_col, watermark_delay)
     return wm.dropDuplicatesWithinWatermark(keys)
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    left_watermark: str,
+    right_watermark: str,
+    lookback: str = "1 minute",
+    lookahead: str = "1 minute",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-STREAM join on a shared key within an event-time interval:
+    right rows within ``[left_time - lookback, left_time + lookahead]``.
+
+    Both sides must be watermarked — the watermarks plus the time-range
+    condition are what let Spark BOUND the join state: each side buffers
+    only rows younger than (watermark + interval), instead of the whole
+    stream history. Without the range condition a stream-stream join is
+    rejected for non-inner types and state grows forever for inner.
+
+    Scale shape: both streams shuffle once on the key (co-partitioned
+    state store); state per key is O(rows within the interval horizon).
+    """
+    lw = left.withWatermark(left_time, left_watermark)
+    rw = right.withWatermark(right_time, right_watermark).withColumnRenamed(
+        key, f"{key}_r"
+    )
+    cond = (
+        (lw[key] == rw[f"{key}_r"])
+        & (rw[right_time] >= lw[left_time] - F.expr(f"INTERVAL {lookback}"))
+        & (rw[right_time] <= lw[left_time] + F.expr(f"INTERVAL {lookahead}"))
+    )
+    return lw.join(rw, cond, how)
