@@ -840,13 +840,15 @@ def events_sessionize(spark, sf_dir):
     """Sessionization (gaps-and-islands): a new session starts after a
     >30-min silence. In true streaming this is a session window /
     applyInPandasWithState; in batch it is lag + conditional count —
-    one shuffle on user_id. Raw nanosecond longs are compared exactly."""
+    one shuffle on user_id. Microsecond timestamps are compared exactly
+    (integer micros under the hood — no float time math)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_ns = 30 * 60 * 1_000_000_000
     flagged = ev.select(
         "user_id",
-        (F.col("ts") - F.lag("ts").over(w) > F.lit(gap_ns)).alias("gap"),
+        (
+            F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES")
+        ).alias("gap"),
     )
     return flagged.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),

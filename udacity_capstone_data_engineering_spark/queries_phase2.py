@@ -253,16 +253,15 @@ def asof_join_purchase_view(spark, sf_dir):
     partition-by-user sort, running MAX of view timestamps over the
     preceding frame — ONE shuffle, no range self-join, no row
     explosion. This is the 100-TB-safe shape for as-of semantics.
-    Timestamps are the raw nanosecond longs (exact comparisons)."""
+    Comparisons are exact integer micros (``unix_micros``), matching
+    the oracle's ``epoch_us``."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("view", "purchase")
     )
-    # Microsecond basis: the oracle engine reads the nanos parquet at
-    # micro precision, so raw-timestamp outputs standardize on micros.
     tagged = ev.select(
         "event_id",
         "user_id",
-        F.expr("ts DIV 1000").alias("ts"),  # int64 div: ts > 2^53 breaks double math
+        F.unix_micros("ts").alias("ts"),
         (F.col("event_type") == "purchase").alias("is_purchase"),
     )
     w = (
@@ -301,7 +300,7 @@ def range_join_events_60s(spark, sf_dir):
     window_us = 60 * 1_000_000
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id",
-        F.expr("ts DIV 1000").alias("ts"),  # int64 div, not double math
+        F.unix_micros("ts").alias("ts"),
     )
     bucket = F.expr(f"ts DIV {window_us}")
     probes = ev.select(

@@ -29,34 +29,45 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one catalog table.
 
-    ``events`` is written with nanosecond timestamps, which Spark's
-    vectorized parquet reader rejects by default — read them as raw
-    nanos-since-epoch longs (``nanosAsLong``); use
-    :func:`event_timestamp` to get a (microsecond) TimestampType view.
+    ``events`` is written with NANOSECOND timestamps. How Spark's
+    parquet reader surfaces those changed across versions (long with
+    ``nanosAsLong`` on 3.x/4.0; native ``TIMESTAMP_NTZ`` truncated to
+    micros on 4.1+), so the catalog normalizes ``ts`` to a session-tz
+    ``TimestampType`` at microsecond precision here — every consumer
+    sees ONE type regardless of the runtime. Truncation long→micros is
+    integer division (double division of int64 nanos > 2^53 loses up
+    to ~128 ns — enough to misbucket a window boundary, ADVICE r1).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(posixpath.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(posixpath.join(sf_dir, f"{name}.parquet"))
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            norm = F.timestamp_micros(F.expr("`ts` div 1000"))
+        else:
+            # TIMESTAMP_NTZ (or already TIMESTAMP): wall-clock is the
+            # UTC instant; queries pin session tz to UTC so this cast
+            # is value-preserving.
+            norm = F.col("ts").cast("timestamp")
+        df = df.withColumn("ts", norm)
+    return df
 
 
 def event_timestamp(col="ts"):
-    """Nanos-since-epoch long → TimestampType (truncated to micros).
+    """Session-tz TimestampType view of an events timestamp column.
 
-    Integer division, NOT ``(c / 1000).cast("long")``: double division
-    of int64 nanos > 2^53 loses up to ~128 ns, enough to misbucket an
-    event at a window boundary (ADVICE r1)."""
+    :func:`load_table` already normalizes ``events.ts`` to a
+    microsecond ``TimestampType``, so this is a value-preserving cast
+    kept for call-site compatibility (and for columns sourced outside
+    the catalog that arrive as ``TIMESTAMP_NTZ``)."""
     from pyspark.sql import functions as F
 
-    if isinstance(col, str):
-        return F.timestamp_micros(F.expr(f"`{col}` div 1000"))
-    # Column input: no `div` operator on Column, so truncate exactly via
-    # decimal arithmetic (c - c % 1000 is an exact multiple of 1000).
-    c = col
-    return F.timestamp_micros(
-        ((c - c % 1000).cast("decimal(30,0)") / 1000).cast("long")
-    )
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp")
 
 
 def fan_out_small_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
