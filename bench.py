@@ -49,6 +49,14 @@ HEADLINE = [
     "label_centroids",
     "events_gap_fill",
     "scd2_customer_status",
+    # round 2: TPC-H suite (multi-join / semi-anti / scalar-subquery shapes)
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q13_customer_distribution",
+    "tpch_q18_large_volume_customers",
+    "tpch_q21_waiting_suppliers",
 ]
 
 

@@ -1195,6 +1195,8 @@ def oracle_sql() -> dict[str, str]:
 from udacity_capstone_data_engineering_spark import queries_phase2  # noqa: E402,F401
 from udacity_capstone_data_engineering_spark import queries_phase3  # noqa: E402,F401
 from udacity_capstone_data_engineering_spark import queries_phase4  # noqa: E402,F401
+from udacity_capstone_data_engineering_spark import queries_phase5  # noqa: E402,F401
+from udacity_capstone_data_engineering_spark import queries_phase6  # noqa: E402,F401
 
 
 @_register("dedup_clusters", _DEDUP_CLUSTERS_SQL)
