@@ -180,3 +180,59 @@ def test_read_sas_plugin_error_path(spark, tmp_path):
         except ImportError as e:
             assert SAS_PACKAGE in str(e)
             raise
+
+
+def test_read_text_lines_and_whole_file(spark, tmp_path):
+    from udacity_capstone_data_engineering_spark.sources.readers import read_text
+
+    d = tmp_path / "txt"
+    d.mkdir()
+    (d / "a.txt").write_text("line1\nline2\n")
+    (d / "b.txt").write_text("doc two\n")
+    lines = read_text(spark, str(d))
+    assert lines.columns == ["value"]
+    assert lines.count() == 3
+    docs = read_text(spark, str(d), whole_file=True)
+    assert docs.count() == 2
+    texts = {r.value for r in docs.collect()}
+    assert "line1\nline2\n" in texts
+
+
+def test_read_binary_files_glob_and_content(spark, tmp_path):
+    from udacity_capstone_data_engineering_spark.sources.readers import (
+        read_binary_files,
+    )
+
+    d = tmp_path / "blobs"
+    d.mkdir()
+    (d / "img0.fake").write_bytes(b"\x00\x01\x02")
+    (d / "img1.fake").write_bytes(b"\x03\x04")
+    (d / "skip.other").write_bytes(b"zz")
+    df = read_binary_files(spark, str(d), glob="*.fake")
+    rows = df.select("path", "length", "content").collect()
+    assert len(rows) == 2
+    by_name = {r.path.rsplit("/", 1)[-1]: r for r in rows}
+    assert bytes(by_name["img0.fake"].content) == b"\x00\x01\x02"
+    assert by_name["img1.fake"].length == 2
+
+
+def test_binary_files_feed_multimodal_features(spark, tmp_path):
+    """binaryFile source output plugs straight into the multimodal
+    feature extractor (the real ingestion path for image corpora)."""
+    from udacity_capstone_data_engineering_spark.operators.multimodal import (
+        extract_features,
+    )
+    from udacity_capstone_data_engineering_spark.sources.readers import (
+        read_binary_files,
+    )
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    for i in range(3):
+        (d / f"doc{i}.bin").write_bytes(bytes([i]) * (i + 4))
+    src = read_binary_files(spark, str(d), glob="*.bin").select(
+        F.crc32(F.col("path")).alias("doc_id"), F.col("content").alias("payload")
+    )
+    out = extract_features(src, "payload", "doc_id")
+    assert out.count() == 3

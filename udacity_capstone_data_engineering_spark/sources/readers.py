@@ -113,3 +113,37 @@ def table_from_rows(
 ) -> DataFrame:
     """In-memory dimension table from literal rows + explicit schema (S7)."""
     return spark.createDataFrame(list(rows), schema=schema)
+
+
+def read_text(
+    spark: SparkSession, path: str, whole_file: bool = False
+) -> DataFrame:
+    """Plain-text reader.
+
+    Default (``whole_file=False``): one row per LINE (``value string``)
+    — splittable, so a large file still fans out across executors.
+    ``whole_file=True``: one row per FILE — the document-ingestion
+    shape (one doc per file); NOT splittable, so a corpus must arrive
+    as many files for parallelism (it does — that's how crawls land).
+    """
+    return spark.read.text(path, wholetext=whole_file)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Binary-file reader — the multimodal ingestion path.
+
+    Emits ``(path, modificationTime, length, content binary)`` — the
+    exact input shape `operators/multimodal.py` consumes (opaque bytes
+    + metadata). Each file is one row and one task unit; Spark caps
+    per-task memory via ``spark.sql.files.maxPartitionBytes`` grouping
+    small files together, so millions of small images batch into
+    sane tasks. Push a ``pathGlobFilter`` instead of filtering on the
+    path column after the scan: the glob prunes at file LISTING time,
+    the filter only after bytes were read.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
