@@ -146,3 +146,33 @@ def test_schema_evolution_merged_read_and_union(spark, tmp_path):
     unioned = union_evolved(v1, v2)
     assert set(unioned.columns) == {"id", "name", "score"}
     assert {r.id: r.score for r in unioned.collect()} == rows
+
+
+def test_observe_metrics_piggyback_on_job(spark, sf_dir):
+    """qc.observed computes stage telemetry inside the main job: the
+    metric values must match an independent pass, with no extra action
+    beyond the pipeline's own."""
+    from pyspark.sql import functions as F
+
+    from udacity_capstone_data_engineering_spark import qc
+    from udacity_capstone_data_engineering_spark.sources.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    df, obs = qc.observed(
+        orders,
+        "orders_stage",
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_dates": F.sum(
+                F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)
+            ),
+            "max_price": F.max("o_totalprice"),
+        },
+    )
+    out = df.filter(F.col("o_totalprice") > 0).count()  # the pipeline's action
+    got = obs.get
+    expected_rows = orders.count()
+    assert got["n_rows"] == expected_rows
+    assert got["n_null_dates"] == 0
+    assert got["max_price"] == orders.agg(F.max("o_totalprice")).first()[0]
+    assert out <= expected_rows

@@ -57,3 +57,21 @@ def test_tumbling_window_streaming_matches_batch(spark, tmp_path):
     assert got["2024-01-01 00:00:00"] == (2, 3.0)
     assert got["2024-01-01 01:00:00"] == (2, 12.0)
     assert got["2024-01-01 03:00:00"] == (1, 16.0)
+
+
+def test_transform_with_state_gated_on_protobuf(spark):
+    """The Spark-4 StatefulProcessor wrapper must fail with actionable
+    guidance when the protobuf package is missing (this container),
+    not a crashed streaming worker."""
+    import pytest
+
+    from udacity_capstone_data_engineering_spark.streaming.stateful import (
+        _twspandas_available,
+        running_totals_stream,
+    )
+
+    df = spark.createDataFrame([(1, 1.0)], "user_id long, value double")
+    if _twspandas_available():
+        pytest.skip("protobuf present; gated path not exercised")
+    with pytest.raises(ImportError, match="protobuf"):
+        running_totals_stream(df)

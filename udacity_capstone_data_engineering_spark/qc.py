@@ -94,3 +94,22 @@ def run_suite(checks: list[QCResult]) -> bool:
     """All checks must pass (the reference ANDed failure flags —
     ``qhi.py:91`` — returning True iff everything FAILED)."""
     return all(c.passed for c in checks)
+
+
+def observed(df: DataFrame, name: str, metrics: dict[str, "F.Column"]):
+    """Attach free QC telemetry to a DataFrame via ``df.observe``.
+
+    Returns ``(df_with_observation, observation)``; after ANY action on
+    the returned frame, ``observation.get`` yields the metric values —
+    computed inline by the SAME job, with zero extra scans or shuffles.
+    This is how a 100-TB pipeline records row counts, null counts, and
+    domain violations per stage without doubling its I/O: a separate
+    ``df.count()`` / profile pass would re-read the stage input.
+    Metrics must be aggregate expressions (count/sum/min/max over the
+    rows the action actually processed).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    exprs = [col.alias(alias) for alias, col in metrics.items()]
+    return df.observe(obs, *exprs), obs

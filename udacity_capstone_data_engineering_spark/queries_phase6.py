@@ -198,3 +198,232 @@ def token_heavy_hitters(spark, sf_dir):
         .orderBy(F.col("n").desc(), "token")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy matching: SymSpell deletion-neighborhood join (edit distance <= 1)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "fuzzy_name_pairs",
+    """
+    WITH n AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+    FROM n a JOIN n b ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 1
+    """,
+)
+def fuzzy_name_pairs(spark, sf_dir):
+    """Fuzzy string join via SymSpell deletion neighborhoods: all
+    distinct part-name pairs within edit distance 1, WITHOUT an
+    all-pairs comparison. Guaranteed complete for distance ≤ 1:
+    d(a,b) ≤ 1 implies the 1-deletion neighborhoods of a and b (each
+    string plus every single-character deletion of it) intersect — a
+    substitution pair shares the variant deleting the differing
+    position, an insert/delete pair contains one string in the other's
+    deletion set. So the candidate set is an EQUI-join on the variant
+    key: O(L) variants per name, one shuffle on the variant string,
+    then exact `levenshtein` verifies candidates (false candidates at
+    larger distances die here; the builtin is JVM-side). The oracle is
+    the quadratic all-pairs join — tractable on the 64 distinct names
+    at test SF, which is exactly why the engine side must NOT use it:
+    at 100 TB the deletion join scales with names × L, the oracle with
+    names². Spark and DuckDB both implement classic Levenshtein."""
+    names = (
+        load_table(spark, sf_dir, "part").select("p_name").distinct()
+    )
+    variants = names.select(
+        "p_name",
+        F.explode(
+            F.array_union(
+                F.array(F.col("p_name")),
+                F.expr(
+                    "transform(sequence(1, length(p_name)), i -> "
+                    "concat(substring(p_name, 1, i-1), "
+                    "substring(p_name, i+1, length(p_name))))"
+                ),
+            )
+        ).alias("variant"),
+    )
+    a = variants.select(
+        F.col("p_name").alias("name_a"), F.col("variant").alias("va")
+    )
+    b = variants.select(
+        F.col("p_name").alias("name_b"), F.col("variant").alias("vb")
+    )
+    cands = (
+        a.join(b, (a.va == b.vb) & (a.name_a < b.name_b))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    return cands.select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").alias("dist"),
+    ).filter(F.col("dist") <= 1)
+
+
+# ---------------------------------------------------------------------------
+# Map column functions: build -> aggregate -> explode roundtrip
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "map_functions",
+    """
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def map_functions(spark, sf_dir):
+    """Map-typed column coverage: per-user event-type counts packed
+    into a `map<string,bigint>` (`map_from_entries` over a sorted
+    `collect_list` of structs — sorting first makes the entry order
+    deterministic, collect_list alone is partitioning-dependent) and
+    exploded back to rows. Semantically the identity over a plain
+    two-key GROUP BY — which is the point: the oracle proves the map
+    build/explode roundtrip loses and corrupts nothing. Map columns
+    never transit a shuffle here wider than the packed per-user row —
+    the shape used for feature maps and per-entity metric bags."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    packed = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    return packed.select(
+        "user_id", F.explode("m").alias("event_type", "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# VariantType: Spark 4 semi-structured column path
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "variant_extract_props",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+               AS k_total,
+           MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS k_min,
+           MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS k_max
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def variant_extract_props(spark, sf_dir):
+    """Semi-structured ingestion via Spark 4's VARIANT type:
+    `parse_json` builds the binary variant encoding once, then typed
+    `variant_get` paths extract fields — versus `get_json_object`,
+    which re-parses the JSON text PER EXTRACTION. With one extracted
+    field they tie; real ingestion pulls many fields per record, where
+    variant parses once and walks the binary encoding per path — the
+    reason lakehouse JSON columns are moving to variant. The variant
+    column itself stays internal (binary encoding is engine-specific);
+    the query emits typed scalars, mirroring `json_extract_props` so
+    the two formulations cross-check through the same oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    k = F.variant_get("v", "$.k", "int")
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).cast("bigint").alias("k_total"),
+        F.min(k).alias("k_min"),
+        F.max(k).alias("k_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Native session windows (F.session_window) vs the manual formulation
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "events_session_window_native",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def events_session_window_native(spark, sf_dir):
+    """Native session windows: `F.session_window(ts, gap)` merges
+    events closer than the gap into one window per key — the SAME
+    aggregation works unchanged on a stream with a watermark (where
+    the manual lag/cumsum formulation cannot: LAG over an unbounded
+    stream is not incrementalizable, which is exactly why the native
+    operator exists). Boundary semantics pinned by the oracle: a
+    session window is [first_ts, last_ts + gap), so an event arriving
+    EXACTLY gap after the last starts a new session (oracle flags
+    `>= INTERVAL`, not `>`). One shuffle on user_id; Spark merges
+    windows via sort-within-partition, no state explosion."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated LATERAL subquery with per-row LIMIT
+# ---------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+    SELECT r_name, t.n_name, t.n_cust
+    FROM region, LATERAL (
+        SELECT n_name, COUNT(c_custkey) AS n_cust
+        FROM nation JOIN customer ON c_nationkey = n_nationkey
+        WHERE n_regionkey = r_regionkey
+        GROUP BY n_name
+        ORDER BY n_cust DESC, n_name
+        LIMIT 2
+    ) t
+"""
+
+
+@_register("lateral_topn_per_region", _LATERAL_SQL)
+def lateral_topn_per_region(spark, sf_dir):
+    """Correlated LATERAL subquery with a per-outer-row LIMIT: the two
+    most customer-heavy nations per region, written as SQL a reference
+    user would port verbatim (both engines run the IDENTICAL statement
+    — the oracle string is the Spark query). Catalyst decorrelates the
+    lateral into a ranked join, so despite the per-row phrasing there
+    is no per-region re-execution: at scale this is the same shape as
+    the window top-k operator (`top_k_per_group`), reached from the
+    SQL surface. Deterministic via the (count DESC, name) tiebreak."""
+    for t in ("region", "nation", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_SQL)

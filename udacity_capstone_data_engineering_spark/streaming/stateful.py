@@ -70,3 +70,64 @@ def sessionize_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def _twspandas_available() -> bool:
+    """Spark 4's ``transformWithStateInPandas`` ships its driver-side
+    worker over a protobuf channel — the ``protobuf`` Python package
+    must be importable or the streaming runner crashes at init
+    (verified: STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE /
+    ImportError google.protobuf.descriptor)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_totals_stream(events: DataFrame, key_col: str = "user_id",
+                          value_col: str = "value") -> DataFrame:
+    """Per-key running (count, sum) via Spark 4's ``StatefulProcessor``
+    API (``transformWithStateInPandas``) — the successor to
+    ``applyInPandasWithState`` with named state variables, TTL, and
+    timers. Explicit plugin point: requires the ``protobuf`` Python
+    package (not bundled in this container) AND the RocksDB state store
+    provider; when absent, fails with the exact dependency to add
+    instead of a crashed-worker stack. The working in-container
+    equivalent is :func:`sessionize_stream` (applyInPandasWithState).
+    """
+    if not _twspandas_available():
+        raise ImportError(
+            "transformWithStateInPandas requires the 'protobuf' Python "
+            "package (pip install protobuf) and "
+            "spark.sql.streaming.stateStore.providerClass="
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider; use sessionize_stream "
+            "(applyInPandasWithState) where protobuf is unavailable"
+        )
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle):
+            self._state = handle.getValueState("totals", "n long, total double")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf[value_col].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {key_col: [key[0]], "n": [n], "total": [total]}
+            )
+
+        def close(self):
+            pass
+
+    return events.groupBy(key_col).transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType=f"{key_col} long, n long, total double",
+        outputMode="Update",
+        timeMode="None",
+    )
