@@ -370,3 +370,56 @@ class TestConcurrentPipeline:
             assert sorted(map(tuple, seq[k].collect())) == sorted(
                 map(tuple, con[k].collect())
             ), k
+
+
+class TestCompaction:
+    def test_compact_small_files_reduces_file_count(self, spark, tmp_path):
+        from udacity_capstone_data_engineering_spark.sources.sinks import (
+            compact_small_files,
+        )
+
+        path = str(tmp_path / "frag")
+        df = spark.range(10_000).selectExpr("id", "id * 2 AS v")
+        df.repartition(64).write.parquet(path)  # 64 tiny files
+        import glob
+
+        before = len(glob.glob(path + "/*.parquet"))
+        assert before >= 32
+        _, n_after = compact_small_files(spark, path, target_file_bytes=1 << 30)
+        after = len(glob.glob(path + "/*.parquet"))
+        assert after <= 2
+        back = spark.read.parquet(path)
+        assert back.count() == 10_000
+        assert back.agg({"v": "sum"}).first()[0] == df.agg({"v": "sum"}).first()[0]
+
+
+class TestSaltedJoin:
+    def test_salted_join_equals_plain_join(self, spark, sf_dir):
+        from udacity_capstone_data_engineering_spark.operators.skew import salted_join
+        from udacity_capstone_data_engineering_spark.sources.catalog import load_table
+
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        ).withColumnRenamed("c_custkey", "o_custkey")
+        plain = orders.join(cust, "o_custkey").groupBy("c_mktsegment").count()
+        salted = (
+            salted_join(orders, cust, "o_custkey", salt=8)
+            .groupBy("c_mktsegment")
+            .count()
+        )
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, salted.collect())
+        )
+
+    def test_salted_left_join_preserves_unmatched(self, spark):
+        from udacity_capstone_data_engineering_spark.operators.skew import salted_join
+
+        left = spark.createDataFrame([(1, "a"), (2, "b")], "k long, lv string")
+        right = spark.createDataFrame([(1, "x")], "k long, rv string")
+        out = salted_join(left, right, "k", salt=4, how="left").collect()
+        assert len(out) == 2
+        unmatched = [r for r in out if r.k == 2][0]
+        assert unmatched.rv is None

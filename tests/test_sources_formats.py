@@ -236,3 +236,25 @@ def test_binary_files_feed_multimodal_features(spark, tmp_path):
     )
     out = extract_features(src, "payload", "doc_id")
     assert out.count() == 3
+
+
+def test_csv_corrupt_record_quarantine(spark, tmp_path):
+    """Malformed CSV rows must land intact in the corrupt column while
+    good rows parse; counting them is the ingestion QC signal."""
+    from pyspark.sql import functions as F
+
+    from udacity_capstone_data_engineering_spark.sources.readers import (
+        read_csv_with_corrupt_capture,
+    )
+
+    p = tmp_path / "dirty.csv"
+    p.write_text("id,qty\n1,10\n2,not_a_number\n3,30\n")
+    df = read_csv_with_corrupt_capture(
+        spark, str(p), "id int, qty int"
+    ).cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 2
+    assert bad.count() == 1
+    assert bad.first()["_corrupt_record"] == "2,not_a_number"
+    assert {r.id for r in good.collect()} == {1, 3}

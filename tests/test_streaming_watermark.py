@@ -75,3 +75,55 @@ def test_late_data_beyond_watermark_dropped(spark, tmp_path):
     # The 12:00 window finalizes WITHOUT any contribution from the late
     # 10:10 event (dropped by the watermark); 10:00 is never re-emitted.
     assert run2 == [("2024-01-01 12:00:00", 1, 2.0)]
+
+
+def test_streaming_session_window_merges_and_finalizes(spark, tmp_path):
+    """The SAME F.session_window aggregation used by the batch query
+    (`events_session_window_native`) must run on a watermarked stream:
+    events within the gap merge into one session; append mode emits a
+    session only once the watermark passes its close."""
+    src = tmp_path / "sess_src"
+    ckpt = tmp_path / "sess_ckpt"
+    src.mkdir()
+
+    def write(rows):
+        spark.createDataFrame(rows, "user_id long, ts_s string").select(
+            "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+        ).write.mode("append").parquet(str(src))
+
+    # user 1: two events 10 min apart (one session), then one event
+    # 2 hours later (second session); a later batch advances the
+    # watermark far past both sessions so append finalizes them.
+    write([(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:10:00"),
+           (1, "2024-01-01 12:30:00")])
+    write([(1, "2024-01-02 09:00:00"), (2, "2024-01-02 09:00:01")])
+
+    schema = "user_id long, ts timestamp"
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("s"), "n_events")
+    )
+    emitted: list[tuple] = []
+
+    def sink(batch_df, batch_id):
+        emitted.extend(
+            (r.user_id, str(r.s), r.n_events) for r in batch_df.collect()
+        )
+
+    q = (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .foreachBatch(sink)
+        .start()
+    )
+    q.awaitTermination(120)
+    finalized = sorted(t for t in emitted)
+    # both of user 1's 2024-01-01 sessions are final (watermark at
+    # 2024-01-02); the 2024-01-02 events are not yet finalized.
+    assert (1, "2024-01-01 10:00:00", 2) in finalized
+    assert (1, "2024-01-01 12:30:00", 1) in finalized
+    assert all(not s.startswith("2024-01-02") for _, s, _ in finalized)

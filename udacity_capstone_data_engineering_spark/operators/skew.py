@@ -50,3 +50,36 @@ def salted_group_agg(
             for name, (kind, _) in aggs.items()
         )
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot-key equi-join salting — for when AQE's skew splitting can't
+    help (it splits map blocks of a sort-merge join, but a single key
+    so hot it dwarfs executor memory, joined against a
+    non-broadcastable right side, still lands on one reducer pair).
+
+    Mechanics: the LEFT (large, skewed) side gets a random salt in
+    [0, salt); the RIGHT side is replicated ``salt`` times via an
+    exploded literal range; the join key becomes (key, salt). Every
+    row pair of the original join appears exactly once — the left row
+    carries ONE salt value and the right row exists at ALL salt values
+    — so results equal the unsalted join for inner/left joins.
+    Replication costs |right| × salt: use for dimension-sized right
+    sides only, and prefer broadcast when it fits (salting is the
+    fallback BETWEEN broadcast and plain shuffle). Random salt is safe:
+    it affects placement, never membership.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left (right rows are replicated)")
+    salted_left = left.withColumn("__salt", (F.rand() * salt).cast("int"))
+    replicated_right = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = salted_left.join(replicated_right, [key, "__salt"], how)
+    return out.drop("__salt")

