@@ -57,6 +57,11 @@ HEADLINE = [
     "tpch_q13_customer_distribution",
     "tpch_q18_large_volume_customers",
     "tpch_q21_waiting_suppliers",
+    # round 2: corpus-prep tier
+    "duplicated_span_ratio",
+    "fuzzy_name_pairs",
+    "doc_chunks_overlap",
+    "corpus_prep_pipeline",
 ]
 
 

@@ -554,3 +554,100 @@ def iqr_outlier_bounds(spark, sf_dir):
         ).cast("bigint").alias("n_outliers"),
         F.count(F.lit(1)).alias("n_rows"),
     ).drop("q1", "q3")
+
+
+# ---------------------------------------------------------------------------
+# Flagship composition: the end-to-end corpus-preparation pipeline
+# ---------------------------------------------------------------------------
+
+_QUALITY_SQL = (
+    "ROUND(least(length(text) / 500.0, 1.0)"
+    " * (1.0 - ROUND(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))"
+    " / greatest(length(text), 1), 6)), 6)"
+)
+
+
+def _corpus_prep_oracle() -> str:
+    from udacity_capstone_data_engineering_spark.functions.hashing import (
+        portable_hash64_sql,
+    )
+    from udacity_capstone_data_engineering_spark.operators.sampling import (
+        hash_split_case_sql,
+    )
+
+    split_case = hash_split_case_sql(
+        "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1}, seed=7
+    )
+    return f"""
+    WITH qualified AS (
+        SELECT doc_id, lang, text
+        FROM documents
+        WHERE {_QUALITY_SQL} >= 0.5),
+    deduped AS (
+        SELECT doc_id, lang, text
+        FROM (SELECT doc_id, lang, text,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY {portable_hash64_sql('text')}
+                         ORDER BY doc_id) AS rn
+              FROM qualified)
+        WHERE rn = 1),
+    assigned AS (
+        SELECT lang, {split_case} AS split,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+        FROM deduped)
+    SELECT split, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM assigned
+    GROUP BY split, lang
+    """
+
+
+@_register("corpus_prep_pipeline", _corpus_prep_oracle())
+def corpus_prep_pipeline(spark, sf_dir):
+    """The end-to-end corpus-preparation pipeline as ONE declarative
+    plan — the engine's north-star composition, each stage an operator
+    proven separately under the gate:
+
+      1. quality gate  (`quality_score` ≥ 0.5 — length/punctuation
+         heuristic, JVM exprs)                     [`doc_quality`]
+      2. exact dedup   (min doc_id per 60-bit portable content
+         fingerprint, tiebroken window)       [`exact_dedup_docs`]
+      3. deterministic split (80/10/10 by key-hash bucket — survives
+         repartitioning and reruns)      [`train_valid_test_split`]
+      4. shard manifest (docs + token budget per split × lang)
+
+    Composing them in one DataFrame keeps Catalyst in charge
+    end-to-end: the quality filter runs inside the scan stage, the
+    dedup window and the final aggregate are the only two shuffles
+    (split assignment is a pure map), and nothing materializes between
+    stages. At 100 TB this whole pipeline is two exchanges over the
+    filtered corpus — there is no per-stage write-out unless a
+    `Pipeline` materialize boundary is asked for."""
+    from udacity_capstone_data_engineering_spark.functions.hashing import (
+        portable_hash64,
+    )
+    from udacity_capstone_data_engineering_spark.functions.text import (
+        quality_score,
+        token_count,
+    )
+    from udacity_capstone_data_engineering_spark.operators.sampling import hash_split
+    from pyspark.sql import Window
+
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    qualified = docs.filter(quality_score("text") >= 0.5).select(
+        "doc_id", "lang", "text"
+    )
+    w = Window.partitionBy(portable_hash64("text")).orderBy("doc_id")
+    deduped = (
+        qualified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    assigned = hash_split(
+        deduped, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1}, seed=7
+    )
+    return assigned.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).cast("bigint").alias("total_tokens"),
+    )
