@@ -258,3 +258,44 @@ def test_csv_corrupt_record_quarantine(spark, tmp_path):
     assert bad.count() == 1
     assert bad.first()["_corrupt_record"] == "2,not_a_number"
     assert {r.id for r in good.collect()} == {1, 3}
+
+
+class TestPythonDataSource:
+    """Spark 4 Python DataSource API: schema, options, partition
+    planning, and cross-parallelism determinism."""
+
+    def test_synthetic_docs_reads_and_partitions(self, spark):
+        from udacity_capstone_data_engineering_spark.sources import pydatasource
+
+        pydatasource.register(spark)
+        df = (
+            spark.read.format("synthetic_docs")
+            .option("n", 200)
+            .option("seed", 7)
+            .option("numPartitions", 4)
+            .load()
+        )
+        assert df.columns == ["doc_id", "text", "lang", "n_chars"]
+        assert df.count() == 200
+        assert df.rdd.getNumPartitions() == 4
+
+    def test_synthetic_docs_deterministic_across_parallelism(self, spark):
+        from pyspark.sql import functions as F
+
+        from udacity_capstone_data_engineering_spark.sources import pydatasource
+
+        pydatasource.register(spark)
+
+        def digest(parts):
+            df = (
+                spark.read.format("synthetic_docs")
+                .option("n", 300)
+                .option("seed", 11)
+                .option("numPartitions", parts)
+                .load()
+            )
+            return df.agg(
+                F.sum(F.crc32(F.concat_ws("|", "doc_id", "text", "lang")))
+            ).first()[0]
+
+        assert digest(2) == digest(16)

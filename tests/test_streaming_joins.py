@@ -136,3 +136,74 @@ def test_stream_upsert_foreachbatch(spark, tmp_path):
         for r in spark.read.parquet(base_path).collect()
     }
     assert got == {(1, 2, "a2"), (2, 1, "b"), (3, 1, "c")}
+
+
+def test_stream_stream_interval_left_outer_emits_unmatched(spark, tmp_path):
+    """leftOuter stream-stream interval join: a left row with no right
+    match within the interval must STILL be emitted (right columns
+    null) — but only after the watermark passes its join window, since
+    a match could otherwise still arrive. This is the semantics that
+    makes outer stream joins usable for 'action without response'
+    funnels (e.g. views that never converted)."""
+    from pyspark.sql import functions as F
+
+    from udacity_capstone_data_engineering_spark.streaming.joins import (
+        interval_join_streams,
+    )
+
+    lsrc = tmp_path / "lo_left"
+    rsrc = tmp_path / "lo_right"
+    ck = tmp_path / "lo_ck"
+    for d in (lsrc, rsrc):
+        d.mkdir()
+
+    def write(dst, rows, schema):
+        spark.createDataFrame(rows, schema).select(
+            F.col("k").alias("user_id"),
+            F.col("ts_s").cast("timestamp").alias("ts"),
+            "tag",
+        ).write.mode("append").parquet(str(dst))
+
+    schema = "k long, ts_s string, tag string"
+    # left: two views; only the first has a purchase within 10 minutes.
+    write(lsrc, [(1, "2024-01-01 10:00:00", "v1"),
+                 (1, "2024-01-01 11:00:00", "v2")], schema)
+    write(rsrc, [(1, "2024-01-01 10:05:00", "p1")], schema)
+    # watermark pusher rows, far in the future, for both sides
+    write(lsrc, [(9, "2024-01-02 12:00:00", "wm")], schema)
+    write(rsrc, [(9, "2024-01-02 12:00:00", "wm")], schema)
+
+    left = spark.readStream.schema("user_id long, ts timestamp, tag string").parquet(
+        str(lsrc)
+    ).withColumnRenamed("tag", "view_tag")
+    right = spark.readStream.schema(
+        "user_id long, ts timestamp, tag string"
+    ).parquet(str(rsrc)).selectExpr(
+        "user_id", "ts AS r_ts", "tag AS purchase_tag"
+    )
+    joined = interval_join_streams(
+        left, right,
+        key="user_id",
+        left_time="ts", right_time="r_ts",
+        left_watermark="5 minutes", right_watermark="5 minutes",
+        lookback="0 minutes", lookahead="10 minutes",
+        how="leftOuter",
+    )
+    emitted: list[tuple] = []
+
+    def sink(batch_df, batch_id):
+        emitted.extend(
+            (r.user_id, r.view_tag, r.purchase_tag) for r in batch_df.collect()
+        )
+
+    q = (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", str(ck))
+        .trigger(availableNow=True)
+        .foreachBatch(sink)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(u, v): p for u, v, p in emitted}
+    assert got.get((1, "v1")) == "p1"        # matched within interval
+    assert (1, "v2") in got and got[(1, "v2")] is None  # unmatched, null right
