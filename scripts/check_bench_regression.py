@@ -1,0 +1,65 @@
+"""Compare two bench.py JSON outputs and flag per-query regressions.
+
+Usage: python scripts/check_bench_regression.py OLD.json NEW.json [threshold]
+
+Reads the driver's BENCH_r{N}.json format ({"queries": {name: sec}} at
+top level, or nested under a "tail"-style wrapper with the JSON on the
+last line). Prints old/new/ratio per query, marks entries past the
+threshold (default 1.5x), lists added/removed queries, and exits
+non-zero if any shared query regressed past the threshold — so a
+round's bench can gate in CI the way the oracle gate does.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def load_queries(path: str) -> dict[str, float]:
+    with open(path) as f:
+        doc = json.load(f)
+    if "queries" in doc:
+        return doc["queries"]
+    # driver BENCH_r{N}.json: bench's JSON line is nested under "parsed"
+    # (or the last line of "tail")
+    if isinstance(doc.get("parsed"), dict) and "queries" in doc["parsed"]:
+        return doc["parsed"]["queries"]
+    if "tail" in doc:
+        line = doc["tail"].strip().splitlines()[-1]
+        inner = json.loads(line[line.index("{"):])
+        if "queries" in inner:
+            return inner["queries"]
+    raise SystemExit(f"{path}: no 'queries' key")
+
+
+def main() -> int:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 2
+    old = load_queries(sys.argv[1])
+    new = load_queries(sys.argv[2])
+    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    shared = sorted(set(old) & set(new))
+    regressed = []
+    print(f"{'query':42s} {'old':>7s} {'new':>7s} ratio")
+    for q in shared:
+        ratio = new[q] / old[q] if old[q] else float("inf")
+        flag = ""
+        if ratio > threshold:
+            flag = f"  <-- REGRESSION (> {threshold}x)"
+            regressed.append(q)
+        print(f"{q:42s} {old[q]:7.3f} {new[q]:7.3f} {ratio:5.2f}{flag}")
+    for q in sorted(set(new) - set(old)):
+        print(f"{q:42s} {'new':>7s} {new[q]:7.3f}")
+    for q in sorted(set(old) - set(new)):
+        print(f"{q:42s} {old[q]:7.3f} {'gone':>7s}")
+    tot_old = sum(old[q] for q in shared)
+    tot_new = sum(new[q] for q in shared)
+    print(f"\nshared-query total: {tot_old:.1f}s -> {tot_new:.1f}s "
+          f"({tot_new / tot_old:.2f}x), {len(regressed)} regressed")
+    return 1 if regressed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

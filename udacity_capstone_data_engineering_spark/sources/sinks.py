@@ -106,21 +106,27 @@ def compact_small_files(
     `coalesce`s — NOT `repartition` — so the rewrite is shuffle-free:
     each output task concatenates whole input splits. Row order within
     the directory is not preserved (it never was meaningful in a lake
-    table). The rewrite goes through a temp sibling + atomic-ish swap
-    so a concurrent reader never sees a half-written directory."""
+    table). The rewrite goes through a temp sibling + swap, and the
+    swap uses the Hadoop FileSystem API, not local file calls — so the
+    same code compacts an s3a:// or hdfs:// directory (on S3, rename
+    is a copy, and true readers-see-atomic swaps need a table format;
+    this is the plain-directory best effort)."""
     import math
-    import shutil
     import uuid
 
     from pyspark.sql import SparkSession
 
     assert isinstance(spark, SparkSession)
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    hadoop_path = spark._jvm.org.apache.hadoop.fs.Path
+    jvm_path = hadoop_path(path)
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
     total = fs.getContentSummary(jvm_path).getLength()
     n_files = max(1, math.ceil(total / target_file_bytes))
-    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
-    spark.read.parquet(path).coalesce(n_files).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    tmp = hadoop_path(f"{path}__compact_{uuid.uuid4().hex[:8]}")
+    spark.read.parquet(path).coalesce(n_files).write.mode("overwrite").parquet(
+        tmp.toString()
+    )
+    fs.delete(jvm_path, True)
+    if not fs.rename(tmp, jvm_path):
+        raise IOError(f"compaction swap failed: rename {tmp} -> {path}")
     return path, n_files
