@@ -85,3 +85,21 @@ def test_spec_unknown_op_rejected(spark, sf_dir):
 def test_spec_source_requires_sf_dir(spark):
     with pytest.raises(ValueError, match="sf_dir"):
         compile_spec(spark, {"stages": [{"name": "o", "source": "orders"}]})
+
+
+def test_registry_oracle_coverage_invariant():
+    """Every registered query must carry a DuckDB oracle, except the
+    three structurally-approximate operators (ANN LSH/IVF, HLL
+    sketch), each of which has a hash-checked twin elsewhere
+    (`ann_recall_report`, `exact_distinct_users`). A new no-oracle
+    query is a gate hole and must be an explicit decision here."""
+    import __spark_entry__ as entry
+
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    assert set(os_) <= set(qs)
+    allowed_rows_only = {
+        "approx_distinct_users",
+        "embedding_lsh_topk",
+        "embedding_ivf_topk",
+    }
+    assert set(qs) - set(os_) == allowed_rows_only
