@@ -423,3 +423,42 @@ class TestSaltedJoin:
         assert len(out) == 2
         unmatched = [r for r in out if r.k == 2][0]
         assert unmatched.rv is None
+
+
+class TestSortedWrite:
+    def test_write_parquet_sorted_no_global_sort(self, spark, sf_dir, tmp_path):
+        """Rows sort within files (row-group stats clustering) with no
+        range exchange in the plan, and read-back preserves the data."""
+        from pyspark.sql import functions as F
+
+        from udacity_capstone_data_engineering_spark.sources.catalog import load_table
+        from udacity_capstone_data_engineering_spark.sources.sinks import (
+            write_parquet_sorted,
+        )
+
+        orders = load_table(spark, sf_dir, "orders")
+        sorted_df = orders.sortWithinPartitions("o_orderdate")
+        plan = sorted_df._jdf.queryExecution().executedPlan().toString()
+        assert "rangepartitioning" not in plan.lower()  # no global sort
+        assert "Sort [" in plan
+        path = write_parquet_sorted(
+            orders, str(tmp_path), "orders_sorted", ["o_orderdate"]
+        )
+        back = spark.read.parquet(path)
+        assert back.count() == orders.count()
+        # per-file monotonicity: within each parquet file the sort
+        # column never decreases
+        import pyspark.sql.window as W
+
+        w = (
+            W.Window.partitionBy(F.input_file_name())
+            .orderBy(F.monotonically_increasing_id())
+        )
+        checked = back.select(
+            F.col("o_orderdate").alias("d"),
+            F.lag("o_orderdate").over(w).alias("prev"),
+        )
+        violations = checked.filter(
+            F.col("prev").isNotNull() & (F.col("d") < F.col("prev"))
+        ).count()
+        assert violations == 0

@@ -651,3 +651,37 @@ def corpus_prep_pipeline(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count("text")).cast("bigint").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# explode_outer: row preservation through empty arrays
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "explode_outer_semantics",
+    """
+    SELECT event_id,
+           unnest(CASE WHEN len(runs) = 0 THEN [NULL] ELSE runs END)
+               AS digit_run
+    FROM (SELECT event_id, regexp_extract_all(props, '[0-9]{2,}') AS runs
+          FROM events)
+    """,
+)
+def explode_outer_semantics(spark, sf_dir):
+    """`explode_outer` semantics pinned: a record whose extracted array
+    is EMPTY must survive as one row with a NULL element — plain
+    `explode` silently drops it, the classic row-loss bug in
+    feature-extraction pipelines (records with no matches vanish from
+    the output and from every downstream count). The oracle emulates
+    outer-explode by substituting a [NULL] list for empty arrays,
+    so both engines must agree on exactly which records have no
+    2-digit runs. Row-local aside from nothing — no shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    runs = ev.select(
+        "event_id",
+        F.regexp_extract_all("props", F.lit("[0-9]{2,}"), 0).alias("runs"),
+    )
+    return runs.select(
+        "event_id", F.explode_outer("runs").alias("digit_run")
+    )

@@ -130,3 +130,30 @@ def compact_small_files(
     if not fs.rename(tmp, jvm_path):
         raise IOError(f"compaction swap failed: rename {tmp} -> {path}")
     return path, n_files
+
+
+def write_parquet_sorted(
+    df: DataFrame,
+    base_path: str,
+    name: str,
+    sort_cols: list[str],
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """Parquet write with rows sorted WITHIN each output file.
+
+    `sortWithinPartitions`, never a global `orderBy`: a global sort
+    would add a range-exchange over the whole dataset purely for
+    layout. Per-file ordering is what actually pays at read time —
+    parquet keeps min/max statistics per row group, so a scan with a
+    predicate on the sort column skips whole row groups (the poor
+    man's clustering; `zorder_by` generalizes it to 2+ dimensions).
+    Typical use: sort event/fact files by timestamp so time-range
+    queries read a fraction of each file.
+    """
+    path = posixpath.join(base_path, name)
+    writer = df.sortWithinPartitions(*sort_cols).write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return path
