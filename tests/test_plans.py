@@ -349,3 +349,35 @@ def test_q21_single_lineitem_scan(spark, sf_dir):
     # for ss, and po derives from ss, not from a fresh scan).
     assert plan.count("lineitem.parquet") <= 2
     assert "CartesianProduct" not in plan
+
+
+def test_no_cartesian_anywhere_and_bnlj_only_where_documented(spark, sf_dir):
+    """Global plan sweep over EVERY registered query: no CartesianProduct
+    at all; BroadcastNestedLoopJoin only in (a) the brute-force ANN
+    oracle baselines, which are quadratic BY DESIGN as correctness
+    anchors, and (b) scalar-subquery threshold joins against 1-row
+    broadcast aggregates, where a nested loop over one row is the
+    cheapest possible plan. Any new query joining without keys shows
+    up here before it ships."""
+    from udacity_capstone_data_engineering_spark.queries import _REGISTRY
+
+    bnlj_allowed = {
+        # quadratic-by-design correctness baselines (documented)
+        "ann_recall_report",
+        "embedding_cosine_topk",
+        "embedding_dup_pairs",
+        # 1-row scalar-threshold broadcasts
+        "approx_quantile_report",
+        "tpch_q11_important_parts",
+        "tpch_q15_top_supplier",
+        "tpch_q22_lapsed_customers",
+    }
+    offenders_cart, offenders_bnlj = [], []
+    for name, (fn, _) in sorted(_REGISTRY.items()):
+        plan = _plan(fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders_cart.append(name)
+        if "BroadcastNestedLoopJoin" in plan and name not in bnlj_allowed:
+            offenders_bnlj.append(name)
+    assert not offenders_cart, f"cartesian products in: {offenders_cart}"
+    assert not offenders_bnlj, f"undocumented nested-loop joins in: {offenders_bnlj}"
