@@ -685,3 +685,50 @@ def explode_outer_semantics(spark, sf_dir):
     return runs.select(
         "event_id", F.explode_outer("runs").alias("digit_run")
     )
+
+
+# ---------------------------------------------------------------------------
+# Full outer join: snapshot reconciliation
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "full_outer_reconciliation",
+    """
+    SELECT CASE WHEN a.o_orderkey IS NULL THEN 'only_finished'
+                WHEN b.o_orderkey IS NULL THEN 'only_urgent'
+                ELSE 'both' END AS match_status,
+           COUNT(*) AS n_orders
+    FROM (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') a
+    FULL OUTER JOIN
+         (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') b
+      ON a.o_orderkey = b.o_orderkey
+    GROUP BY 1
+    """,
+)
+def full_outer_reconciliation(spark, sf_dir):
+    """FULL OUTER join — the reconciliation shape (diffing two
+    snapshots / CDC feeds, where rows exist on either side alone):
+    urgent orders vs finished orders, classified into both /
+    left-only / right-only with counts. The last join type in the
+    catalog (inner/left/semi/anti/cross are covered elsewhere). A
+    full outer CANNOT broadcast either side (both sides' unmatched
+    rows must surface), so it plans as a shuffle join on the key at
+    any scale — exactly one exchange per side here, then the classify
+    + count aggregate rides the same partitioning."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("a_key")
+    )
+    b = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("b_key")
+    )
+    j = a.join(b, a.a_key == b.b_key, "full_outer")
+    status = (
+        F.when(F.col("a_key").isNull(), "only_finished")
+        .when(F.col("b_key").isNull(), "only_urgent")
+        .otherwise("both")
+    )
+    return j.groupBy(status.alias("match_status")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
