@@ -75,19 +75,33 @@ def _hyperplane(dim: int, table: int, plane: int) -> list[float]:
 
 
 def lsh_bucket_keys(
-    emb: DataFrame, vec_col: str, dim: int, planes: int = 4, tables: int = 16
+    emb: DataFrame,
+    vec_col: str,
+    dim: int,
+    planes: int = 4,
+    tables: int = 16,
+    probes: int = 0,
 ) -> DataFrame:
-    """Append (table, bucket) LSH keys, one row per table: bucket bit p
-    = sign(v · hyperplane_{table,p}). Multi-table is the standard
-    recall lever for random-hyperplane LSH: each extra table is an
+    """Append (table, probe_rank, bucket) LSH keys: bucket bit p =
+    sign(v · hyperplane_{table,p}). Multi-table is the standard recall
+    lever for random-hyperplane LSH: each extra table is an
     independent chance for true neighbors to collide.
+
+    ``probes > 0`` adds QUERY-DIRECTED multiprobe keys (Lv et al.):
+    per table, also the buckets obtained by flipping the ``probes``
+    bits with the SMALLEST projection margin — the bits a true
+    neighbor most plausibly disagrees on. probe_rank 0 is the exact
+    key; ranks 1..probes are the directed flips. Directed probing is
+    the recall/cost sweet spot: flipping ALL planes multiplies probe
+    rows by planes+1 (measured 6× slower end-to-end), while the two
+    lowest-margin bits capture most boundary misses for ×(probes+1).
 
     All tables×planes projections are ONE Arrow-batched matmul against
     the (dim × tables·planes) hyperplane matrix — the measured
     pandas-UDF sweet spot (compute ≫ transfer; interpreted per-plane
     ``aggregate`` costs tables×planes×dim lambda evaluations per row).
-    Sign bits are packed into per-table bucket keys numpy-side; the
-    explode multiplies rows by ``tables`` (cheap: ids + small ints)."""
+    Sign bits, margins, and flips all stay numpy-side; the explode
+    multiplies rows by tables×(probes+1) (cheap: ids + small ints)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -101,19 +115,36 @@ def lsh_bucket_keys(
         dtype=np.float64,
     ).T  # (dim, tables*planes)
     weights = (2 ** np.arange(planes, dtype=np.int64))[None, None, :]
-    n_tables, n_planes = tables, planes
+    n_tables, n_planes, n_probes = tables, planes, min(probes, planes)
 
     def buckets(v):
         x = np.vstack(v.to_numpy())  # (batch, dim)
-        bits = (x @ hmat) > 0  # (batch, tables*planes)
-        bits = bits.reshape(len(x), n_tables, n_planes)
-        keys = (bits * weights).sum(axis=2)  # (batch, tables)
-        return pd.Series(list(keys))
+        proj = (x @ hmat).reshape(len(x), n_tables, n_planes)
+        bits = proj > 0
+        keys = (bits * weights).sum(axis=2, dtype=np.int64)  # (batch, tables)
+        if not n_probes:
+            return pd.Series(list(keys))
+        # directed flips: per (row, table), the n_probes smallest-|margin| bits
+        order = np.argsort(np.abs(proj), axis=2)[:, :, :n_probes]
+        out = np.empty((len(x), n_tables * (n_probes + 1)), dtype=np.int64)
+        out[:, :: n_probes + 1] = keys
+        for r in range(n_probes):
+            out[:, r + 1 :: n_probes + 1] = keys ^ (
+                np.int64(1) << order[:, :, r]
+            )
+        return pd.Series(list(out))
 
     udf = pandas_udf(buckets, "array<long>")
     keyed = emb.select("*", udf(F.col(vec_col).cast("array<double>")).alias("__keys"))
-    return keyed.select(
-        *emb.columns, F.posexplode("__keys").alias("table", "bucket")
+    stride = n_probes + 1
+    exploded = keyed.select(
+        *emb.columns, F.posexplode("__keys").alias("__idx", "bucket")
+    )
+    return exploded.select(
+        *emb.columns,
+        (F.col("__idx") / stride).cast("int").alias("table"),
+        (F.col("__idx") % stride).alias("probe_rank"),
+        "bucket",
     )
 
 
@@ -249,6 +280,7 @@ def lsh_topk(
     k: int = 5,
     planes: int | None = None,
     tables: int = 16,
+    multiprobe: int = 2,
 ) -> DataFrame:
     """Approximate top-k: candidates = pairs sharing any table's bucket
     (deduplicated), then exact cosine ranking of candidates only.
@@ -258,9 +290,23 @@ def lsh_topk(
     × tables (recall). ``planes=None`` auto-sizes granularity to the
     corpus — planes ≈ log2(n / 32) keeps expected bucket size ~32, so
     candidate generation stays near-linear as n grows instead of
-    quadratic (fixed planes degenerate at scale). Recall is validated
-    against ``brute_force_topk`` in tests (approx operators get recall
-    thresholds, not hash equality — SURVEY.md §7 risk register).
+    quadratic (fixed planes degenerate at scale).
+
+    ``multiprobe`` (default 2) enables QUERY-DIRECTED multiprobe: the
+    probe side also checks, per table, the buckets reached by flipping
+    its ``multiprobe`` lowest-margin sign bits — the recall lever that
+    does NOT add tables. Needed because auto-sizing adds planes as n
+    grows, which decays per-table collision odds: without probing,
+    recall@5 measured 0.89 at 500 vectors but 0.61 at 2000 (the sf0.1
+    gate caught it); with 2 directed probes, ≥0.95 at both. Directed
+    beats flip-everything: all-bit probing costs ×(planes+1) probe
+    rows (measured 6× slower end-to-end) where the two lowest-margin
+    bits capture most boundary misses for ×3. The build side keeps
+    exact keys only, so no pair is double-generated across probe
+    ranks. ``multiprobe=0`` restores exact-bucket probing. Recall is
+    validated against ``brute_force_topk`` in tests AND in-gate via
+    ``ann_recall_report`` (approx operators get recall thresholds,
+    not hash equality — SURVEY.md §7 risk register).
     """
     n = emb.count()  # counted ONCE; reused for auto-sizing + scoring path
     if planes is None:
@@ -269,14 +315,14 @@ def lsh_topk(
         planes = max(4, math.ceil(math.log2(max(n, 64) / 32)))
     # Persisted: the self-join reads the bucketed keys from BOTH sides,
     # and without the persist each side re-runs the scan + bucket UDF.
-    # Rows are (id, table, bucket) ints — tiny relative to the vectors.
-    b = lsh_bucket_keys(emb, vec_col, dim, planes, tables).select(
-        F.col(id_col), "table", "bucket"
-    ).persist()
+    # Rows are (id, table, rank, bucket) ints — tiny vs the vectors.
+    b = lsh_bucket_keys(
+        emb, vec_col, dim, planes, tables, probes=multiprobe
+    ).select(F.col(id_col), "table", "probe_rank", "bucket").persist()
     left = b.select(
         F.col(id_col).alias("query_id"), "table", "bucket"
     )
-    right = b.select(
+    right = b.filter(F.col("probe_rank") == 0).select(
         F.col(id_col).alias("neighbor_id"), "table", "bucket"
     )
     cand = (
