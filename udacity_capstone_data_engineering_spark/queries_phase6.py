@@ -732,3 +732,37 @@ def full_outer_reconciliation(spark, sf_dir):
     return j.groupBy(status.alias("match_status")).agg(
         F.count(F.lit(1)).alias("n_orders")
     )
+
+
+# ---------------------------------------------------------------------------
+# Native ordered string aggregation (Spark 4 listagg WITHIN GROUP)
+# ---------------------------------------------------------------------------
+
+_LISTAGG_SQL = """
+    SELECT r_name,
+           listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+"""
+
+
+@_register(
+    "listagg_nations",
+    """
+    SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def listagg_nations(spark, sf_dir):
+    """Spark 4's native `listagg` with `WITHIN GROUP (ORDER BY …)` —
+    the ANSI ordered string aggregation. `nations_per_region_csv`
+    builds the same result by hand (collect_list → sort_array →
+    array_join, required before 4.0 because collect order is
+    partitioning-dependent); the WITHIN GROUP clause makes the
+    ordering part of the AGGREGATE's contract instead. Both paths
+    stay under the gate so the native function is proven equivalent
+    to the manual composition."""
+    for t in ("nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LISTAGG_SQL)
