@@ -133,3 +133,54 @@ def test_stateful_streaming_sessionize(spark, tmp_path):
         for r in spark.sql("SELECT * FROM sessionize_state_test").collect()
     }
     assert got == {1: (3, 2), 2: (2, 1)}
+
+
+def test_minhash_lsh_recall_vs_true_jaccard(spark, sf_dir):
+    """Banding recall against GROUND TRUTH, not against the banding
+    oracle: the near-dup gate query's DuckDB oracle reproduces the
+    MinHash+banding algorithm, so it proves implementation parity but
+    structurally cannot catch recall decay vs TRUE Jaccard pairs (the
+    same blind spot the sf0.1 replay exposed for ANN). This test
+    computes exact 5-gram Jaccard over all pairs and asserts the
+    banded candidates recover >= 80% of pairs with J >= 0.8 — the
+    region 16 hashes / 4 bands targets (theoretical collision
+    probability 1-(1-J^4)^4 = 0.88 at J = 0.8)."""
+    from pyspark.sql import functions as F
+
+    from udacity_capstone_data_engineering_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from udacity_capstone_data_engineering_spark.functions.text import word_shingles
+    from udacity_capstone_data_engineering_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    # ground truth: exact Jaccard >= 0.8 over all pairs (test-scale only)
+    sh = docs.select("doc_id", word_shingles("text", 5).alias("s"))
+    a = sh.selectExpr("doc_id AS id_a", "s AS sa")
+    b = sh.selectExpr("doc_id AS id_b", "s AS sb")
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "j",
+            F.size(F.array_intersect("sa", "sb"))
+            / F.size(F.array_union("sa", "sb")),
+        )
+        .filter(F.col("j") >= 0.8)
+        .select("id_a", "id_b")
+    )
+    true_pairs = {(r.id_a, r.id_b) for r in truth.collect()}
+    if not true_pairs:
+        import pytest
+
+        pytest.skip("no true near-dup pairs at this SF")
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=16, shingle_k=5)
+    cands = lsh_candidate_pairs(sigs, "doc_id", bands=4)
+    got = {
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+        for r in cands.select("id_a", "id_b").collect()
+    }
+    recall = len(true_pairs & got) / len(true_pairs)
+    assert recall >= 0.8, f"banding recall vs true Jaccard: {recall}"
