@@ -42,8 +42,16 @@ def _fit_centroids(
         n = emb.count()
     frac = min(1.0, sample / max(n, 1))
     train_df = emb.sample(fraction=frac, seed=seed) if frac < 1.0 else emb
-    x = np.array(
-        [r[0] for r in train_df.select(vec_col).collect()], dtype=np.float64
+    # Arrow-path collect (VERDICT r2 #5): toPandas() ships contiguous
+    # Arrow batches instead of per-row Python Row objects — same
+    # pattern as similarity._score_pairs; several× less driver heap
+    # for the bounded fit sample.
+    pdf = train_df.select(F.col(vec_col).cast("array<double>")).toPandas()
+    col = pdf.iloc[:, 0].to_numpy()
+    x = (
+        np.vstack(col).astype(np.float64)
+        if len(col)
+        else np.zeros((0, 0), dtype=np.float64)
     )
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     norms[norms == 0] = 1.0

@@ -84,7 +84,8 @@ _STRIDE = 80
                AS chunk_len
     FROM (SELECT doc_id, text,
                  unnest(range(0, (length(text) - 1) // {_STRIDE} + 1)) AS i
-          FROM documents)
+          FROM documents
+          WHERE length(text) > 0)
     """,
 )
 def doc_chunks_overlap(spark, sf_dir):
@@ -96,14 +97,24 @@ def doc_chunks_overlap(spark, sf_dir):
     shorter (`substring` truncates). Emits content hashes + lengths,
     not the chunk text, so the exchange after this (if any) carries
     ~40 bytes/chunk instead of the text. Row-local: chunking never
-    shuffles; at 100 TB this runs entirely map-side on the scan."""
-    docs = load_table(spark, sf_dir, "documents")
+    shuffles; at 100 TB this runs entirely map-side on the scan.
+
+    Empty documents emit NO chunks: an unclamped
+    ``sequence(0, floor((len-1)/stride))`` becomes ``sequence(0, -1)``
+    — which Spark evaluates as the DESCENDING array ``[0, -1]`` (two
+    phantom chunks), while the oracle's ``range(0, 0)`` is empty
+    (ADVICE r2). Filter zero-length text up front and clamp the upper
+    bound to 0 so both sides agree on any corpus."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     n_chunks = (F.length("text") - 1).cast("long") / F.lit(_STRIDE)
     chunked = docs.select(
         "doc_id",
         "text",
         F.posexplode(
-            F.sequence(F.lit(0), F.floor(n_chunks).cast("int"))
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.floor(n_chunks).cast("int"), F.lit(0)),
+            )
         ).alias("chunk_idx", "_i"),
     )
     chunk = F.col("text").substr(

@@ -40,7 +40,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    df = spark.read.parquet(posixpath.join(sf_dir, f"{name}.parquet"))
+    path = posixpath.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        df = _read_events_parquet(spark, path)
+    else:
+        df = spark.read.parquet(path)
     if name == "events":
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType
@@ -55,6 +59,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             norm = F.col("ts").cast("timestamp")
         df = df.withColumn("ts", norm)
     return df
+
+
+def _read_events_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Read the nanosecond-timestamp events parquet on ANY pyspark.
+
+    pyspark 4.1+ reads TIMESTAMP(NANOS) natively (as TIMESTAMP_NTZ
+    truncated to micros); 3.x/4.0 readers refuse it at schema inference
+    ("Illegal Parquet type: INT64 (TIMESTAMP(NANOS,...))") unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` is set, in which case the
+    column surfaces as a raw nanos LongType that :func:`load_table`
+    normalizes. The container's pyspark moved 4.0 -> 4.1.2 mid-build
+    once already (ADVICE r2), so this probes by behavior, not version
+    string: plain read first, and on the nanos schema error set the
+    legacy conf and retry. The conf flip is read-path only and
+    harmless on runtimes that never consult it.
+    """
+    try:
+        return spark.read.parquet(path)
+    except Exception as exc:  # AnalysisException on 3.x/4.0 readers
+        if "NANOS" not in str(exc) and "nanosAsLong" not in str(exc):
+            raise
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path)
 
 
 def event_timestamp(col="ts"):

@@ -122,13 +122,24 @@ def compact_small_files(
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
     total = fs.getContentSummary(jvm_path).getLength()
     n_files = max(1, math.ceil(total / target_file_bytes))
-    tmp = hadoop_path(f"{path}__compact_{uuid.uuid4().hex[:8]}")
+    token = uuid.uuid4().hex[:8]
+    tmp = hadoop_path(f"{path}__compact_{token}")
     spark.read.parquet(path).coalesce(n_files).write.mode("overwrite").parquet(
         tmp.toString()
     )
-    fs.delete(jvm_path, True)
+    # Swap via backup (ADVICE r2): rename the original aside FIRST —
+    # never delete it before the compacted tmp is in place — so a crash
+    # at any point leaves either the original or the compacted data
+    # reachable, and a failed swap rolls the original back.
+    backup = hadoop_path(f"{path}__old_{token}")
+    if not fs.rename(jvm_path, backup):
+        fs.delete(tmp, True)
+        raise IOError(f"compaction swap failed: rename {path} -> {backup}")
     if not fs.rename(tmp, jvm_path):
+        fs.rename(backup, jvm_path)
+        fs.delete(tmp, True)
         raise IOError(f"compaction swap failed: rename {tmp} -> {path}")
+    fs.delete(backup, True)
     return path, n_files
 
 
