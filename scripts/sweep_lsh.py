@@ -23,17 +23,21 @@ from udacity_capstone_data_engineering_spark.operators.similarity import (
     lsh_topk,
 )
 
+# (tables, multiprobe, planes-override or None for auto)
 COMBOS = [
-    (16, 2),
-    (16, 1),
-    (12, 2),
-    (12, 1),
-    (8, 3),
-    (8, 2),
-    (8, 1),
-    (6, 3),
-    (6, 2),
-    (4, 3),
+    (16, 2, None),
+    (16, 3, None),
+    (16, 4, None),
+    (16, 5, None),
+    (12, 3, None),
+    (12, 4, None),
+    (12, 5, None),
+    (8, 5, None),
+    (16, 2, 5),
+    (12, 2, 5),
+    (12, 3, 5),
+    (8, 3, 5),
+    (8, 2, 5),
 ]
 
 
@@ -46,7 +50,7 @@ def main(sf_dirs):
             (r.query_id, r.neighbor_id)
             for r in brute_force_topk(emb, "vec_id", "embedding", k=5).collect()
         }
-        for tables, multiprobe in COMBOS:
+        for tables, multiprobe, planes in COMBOS:
             times = []
             got = None
             for _ in range(2):
@@ -59,6 +63,7 @@ def main(sf_dirs):
                         "embedding",
                         dim=64,
                         k=5,
+                        planes=planes,
                         tables=tables,
                         multiprobe=multiprobe,
                     ).collect()
@@ -72,6 +77,7 @@ def main(sf_dirs):
                         "n": n,
                         "tables": tables,
                         "multiprobe": multiprobe,
+                        "planes": planes,
                         "recall_at_5": round(recall, 4),
                         "warm_sec": round(min(times), 3),
                     }

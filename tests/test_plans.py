@@ -95,6 +95,26 @@ def test_lsh_join_partition_count_bounded(spark, sf_dir):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
 
 
+def test_lsh_post_join_plan_shape(spark, sf_dir):
+    """The LSH top-k plan's r3 shape: under the byte gates the
+    candidate join is broadcast-hash (no shuffle on either side of the
+    bucket join), and the only shuffles left are the two slim
+    post-join exchanges — distinct candidate pairs, then scored pairs
+    for the ranking window. Distinct plan_ids deduplicate AQE's
+    repeated initial/final plan sections."""
+    df = QUERIES["embedding_lsh_topk"](spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    # Only the executed plan counts: AQE appends the initial plan (and
+    # re-planned stages) below the final one in the string.
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    n_shuffles = final.count("Exchange hashpartitioning")
+    assert n_shuffles <= 2, (
+        f"expected <=2 shuffles in final plan, saw {n_shuffles}:\n{final}"
+    )
+
+
 def test_bucketed_join_no_shuffle(spark, sf_dir):
     # Co-located join: both sides bucketed on the join key with the same
     # bucket count -> SortMergeJoin with NO Exchange on either side.
@@ -238,6 +258,40 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
         "cust_bucket", (F.col("c_custkey") % 10).cast("int")
     ).filter(F.col("c_mktsegment") == "BUILDING")
     j = fact.join(dim, ["cust_bucket"]).groupBy("c_mktsegment").count()
+    assert "dynamicpruning" in _plan(j).lower()
+
+
+def test_partitioned_catalog_layout_prunes_and_dpp(spark, sf_dir, tmp_path):
+    """VERDICT r2 #7: the CATALOG's own partitioned-at-rest layout —
+    not an ad-hoc tmp table — must show (a) static partition pruning
+    (non-empty PartitionFilters) for a date-ranged scan, and (b) a
+    dynamicpruning subquery when the date filter arrives via a joined
+    dim."""
+    from udacity_capstone_data_engineering_spark.sources.catalog import (
+        load_partitioned,
+        materialize_partitioned,
+    )
+
+    path = materialize_partitioned(spark, sf_dir, "events", str(tmp_path))
+    ev = load_partitioned(spark, path)
+
+    # (a) static pruning: the date predicate must land in
+    # PartitionFilters (directory-level skip), not PushedFilters.
+    ranged = ev.filter(F.col("event_date") == "2024-01-03").groupBy(
+        "user_id"
+    ).count()
+    scan = _plan(ranged)
+    pf = scan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "event_date" in pf, scan
+
+    # (b) DPP: filter arrives via a dim join on the partition column.
+    dim = (
+        ev.select("event_date")
+        .distinct()
+        .withColumn("dow", F.dayofweek("event_date"))
+        .filter(F.col("dow") == 2)
+    )
+    j = ev.join(dim.select("event_date"), ["event_date"]).groupBy().count()
     assert "dynamicpruning" in _plan(j).lower()
 
 

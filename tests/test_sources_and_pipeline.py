@@ -115,13 +115,14 @@ def test_multimodal_feature_extraction(spark):
 def test_lsh_recall_vs_brute_force(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     exact = brute_force_topk(emb, "vec_id", "embedding", k=5)
-    approx = lsh_topk(emb, "vec_id", "embedding", dim=64, k=5, planes=4, tables=16)
+    approx = lsh_topk(emb, "vec_id", "embedding", dim=64, k=5)
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
-    # 16 tables x 4 planes measured ~0.9 recall@5 on these embeddings;
-    # assert with slack against seed drift.
-    assert recall > 0.6, f"LSH recall collapsed: {recall}"
+    # Deterministic (md5 hyperplanes, no RNG): auto-sized
+    # planes + margin-ranked multiprobe measured recall@5 of 0.995
+    # (500 vecs), 0.955 (2000 vecs) — pin the >=0.95 design target.
+    assert recall >= 0.95, f"LSH recall below design target: {recall}"
 
 
 def test_schema_evolution_merged_read_and_union(spark, tmp_path):

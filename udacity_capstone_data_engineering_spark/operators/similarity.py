@@ -88,20 +88,27 @@ def lsh_bucket_keys(
     independent chance for true neighbors to collide.
 
     ``probes > 0`` adds QUERY-DIRECTED multiprobe keys (Lv et al.):
-    per table, also the buckets obtained by flipping the ``probes``
-    bits with the SMALLEST projection margin — the bits a true
-    neighbor most plausibly disagrees on. probe_rank 0 is the exact
-    key; ranks 1..probes are the directed flips. Directed probing is
-    the recall/cost sweet spot: flipping ALL planes multiplies probe
-    rows by planes+1 (measured 6× slower end-to-end), while the two
-    lowest-margin bits capture most boundary misses for ×(probes+1).
+    per table, also the ``probes`` buckets reached by the
+    margin-ordered PERTURBATION SEQUENCE — the non-empty subsets of
+    the table's three lowest-|margin| sign bits, ranked per row by the
+    summed margin of the flipped bits (the likelihood a true neighbor
+    lands exactly there). probe_rank 0 is the exact key; ranks
+    1..probes walk the sequence. Multi-bit subsets matter once planes
+    auto-grow with the corpus: with 6+ planes a boundary miss
+    increasingly flips TWO bits, and single-bit probing plateaus
+    (measured recall 0.93 at 16 tables × 2 single-bit probes on 2000
+    vectors, vs 0.97+ from the same probe count drawn from the ranked
+    subset sequence). Directed probing stays the cost sweet spot vs
+    more tables: each probe adds probe-side rows only, while a table
+    adds build-side rows AND an independent hash family.
 
     All tables×planes projections are ONE Arrow-batched matmul against
     the (dim × tables·planes) hyperplane matrix — the measured
     pandas-UDF sweet spot (compute ≫ transfer; interpreted per-plane
     ``aggregate`` costs tables×planes×dim lambda evaluations per row).
-    Sign bits, margins, and flips all stay numpy-side; the explode
-    multiplies rows by tables×(probes+1) (cheap: ids + small ints)."""
+    Sign bits, margins, subset scores, and flips all stay numpy-side;
+    the explode multiplies rows by tables×(probes+1) (cheap: ids +
+    small ints)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -115,7 +122,13 @@ def lsh_bucket_keys(
         dtype=np.float64,
     ).T  # (dim, tables*planes)
     weights = (2 ** np.arange(planes, dtype=np.int64))[None, None, :]
-    n_tables, n_planes, n_probes = tables, planes, min(probes, planes)
+    # Perturbation universe: non-empty subsets of the 3 lowest-margin
+    # bits (positions refer to the margin-sorted order, 0 = smallest).
+    # 7 subsets bounds the ranking work; probes beyond 7 would need a
+    # wider universe, which no sane config reaches.
+    _SUBSETS = [(0,), (1,), (0, 1), (2,), (0, 2), (1, 2), (0, 1, 2)]
+    n_tables, n_planes = tables, planes
+    n_probes = min(probes, len(_SUBSETS)) if planes >= 3 else min(probes, planes)
 
     def buckets(v):
         x = np.vstack(v.to_numpy())  # (batch, dim)
@@ -124,15 +137,31 @@ def lsh_bucket_keys(
         keys = (bits * weights).sum(axis=2, dtype=np.int64)  # (batch, tables)
         if not n_probes:
             return pd.Series(list(keys))
-        # directed flips: per (row, table), the n_probes smallest-|margin| bits
-        order = np.argsort(np.abs(proj), axis=2)[:, :, :n_probes]
-        out = np.empty((len(x), n_tables * (n_probes + 1)), dtype=np.int64)
-        out[:, :: n_probes + 1] = keys
-        for r in range(n_probes):
-            out[:, r + 1 :: n_probes + 1] = keys ^ (
-                np.int64(1) << order[:, :, r]
-            )
-        return pd.Series(list(out))
+        margins = np.abs(proj)
+        order = np.argsort(margins, axis=2)  # (batch, tables, planes)
+        if n_planes < 3:
+            # Degenerate tiny-key case: single-bit flips only.
+            out = np.empty((len(x), n_tables * (n_probes + 1)), dtype=np.int64)
+            out[:, :: n_probes + 1] = keys
+            for r in range(n_probes):
+                out[:, r + 1 :: n_probes + 1] = keys ^ (
+                    np.int64(1) << order[:, :, r]
+                )
+            return pd.Series(list(out))
+        low3 = order[:, :, :3]  # margin-sorted bit indices
+        m3 = np.take_along_axis(margins, low3, axis=2)  # their margins
+        # Score + XOR mask for each of the 7 candidate subsets.
+        scores = np.stack(
+            [m3[:, :, list(s)].sum(axis=2) for s in _SUBSETS], axis=2
+        )  # (batch, tables, 7)
+        masks = np.zeros(scores.shape, dtype=np.int64)
+        for si, s in enumerate(_SUBSETS):
+            for pos in s:
+                masks[:, :, si] |= np.int64(1) << low3[:, :, pos]
+        rank = np.argsort(scores, axis=2, kind="stable")[:, :, :n_probes]
+        probe_keys = keys[:, :, None] ^ np.take_along_axis(masks, rank, axis=2)
+        out = np.concatenate([keys[:, :, None], probe_keys], axis=2)
+        return pd.Series(list(out.reshape(len(x), -1)))
 
     udf = pandas_udf(buckets, "array<long>")
     keyed = emb.select("*", udf(F.col(vec_col).cast("array<double>")).alias("__keys"))
@@ -179,8 +208,59 @@ def _unit_vectors(emb, id_col: str, vec_col: str):
     )
 
 
+def _collect_unit_matrix(emb, id_col: str, vec_col: str, dim: int):
+    """Collect (ids, L2-normalized matrix) to the driver iff the corpus
+    fits ``BROADCAST_SCORE_MAX_BYTES``; returns ``(ids, mat)`` or None.
+
+    One Arrow job replaces three (count + dim-probe + full collect):
+    the byte cap is enforced with a LIMIT of cap/(8·dim)+1 rows — if
+    the limited collect comes back full, the corpus is over the cap
+    and the caller takes the join path (and pays a real count). At
+    100 TB the limit stops the scan after the first partitions; the
+    driver never sees more than the cap + one row. The RAW vectors are
+    collected and normalized in one numpy pass — measured faster than
+    evaluating the per-element ``transform`` normalization JVM-side
+    just to re-collect the result. Zero-norm rows are dropped (they
+    have no direction; scoring surfaces them as NULL cosine).
+    """
+    import numpy as np
+
+    max_rows = BROADCAST_SCORE_MAX_BYTES // (8 * max(dim, 1))
+    pdf = (
+        emb.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .filter(F.col(vec_col).isNotNull())
+        .limit(max_rows + 1)
+        .toPandas()
+    )
+    if len(pdf) > max_rows:
+        return None
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    mat = (
+        np.vstack(pdf.iloc[:, 1].to_numpy()).astype(np.float64)
+        if len(pdf)
+        else np.zeros((0, dim), dtype=np.float64)
+    )
+    norms = np.linalg.norm(mat, axis=1)
+    keep = norms > 0
+    mat = mat[keep] / norms[keep][:, None]
+    return ids[keep], mat
+
+
+# Above this many BUILD-SIDE BYTES (n_vectors × tables × ~24 b/row of
+# id+table+bucket ints), stop broadcasting the exact-key side of the
+# LSH candidate join and let it shuffle. Same philosophy as
+# BROADCAST_SCORE_MAX_BYTES: measured bytes, not row counts.
+BROADCAST_BUILD_MAX_BYTES = 64 * 1024 * 1024
+
+
 def _score_pairs(
-    emb, id_col: str, vec_col: str, cand, n: int | None = None, unit=None
+    emb,
+    id_col: str,
+    vec_col: str,
+    cand,
+    n: int | None = None,
+    unit=None,
+    unit_mat=None,
 ):
     """Cosine for candidate (query_id, neighbor_id) pairs.
 
@@ -196,6 +276,12 @@ def _score_pairs(
     ``unit``: optionally a precomputed ``(id, uv)`` DataFrame from
     :func:`_unit_vectors`, so callers that already normalized (IVF's
     probe stage) don't pay the normalization scan twice.
+
+    ``unit_mat``: optionally the ALREADY-COLLECTED ``(ids, mat)`` pair
+    (from :func:`_collect_unit_matrix`). Callers that collected it for
+    their own sizing (LSH) pass it through, which skips the count +
+    dim-probe + collect jobs entirely — on small inputs those fixed
+    jobs, not the math, dominate wall time.
     """
     import numpy as np
     import pandas as pd
@@ -204,27 +290,23 @@ def _score_pairs(
     from udacity_capstone_data_engineering_spark.functions.vectors import dot
 
     spark = emb.sparkSession
-    if n is None:
-        n = emb.count()
 
     if unit is not None:
         unit = unit.select(F.col(id_col), F.col("uv"))
     else:
         unit = _unit_vectors(emb, id_col, vec_col)
 
-    # Cap in measured bytes: dim probed from one row (limit-1 scan).
-    head = emb.select(F.size(F.col(vec_col)).alias("d")).head()
-    dim = int(head["d"]) if head is not None else 0
-    if n * dim * 8 <= BROADCAST_SCORE_MAX_BYTES:
-        # Arrow-path collect: toPandas() ships contiguous Arrow batches,
-        # not per-row Python Row objects (several× less driver heap).
-        pdf = unit.filter(F.col("uv").isNotNull()).toPandas()
-        ids = pdf[id_col].to_numpy(dtype=np.int64)
-        mat = (
-            np.vstack(pdf["uv"].to_numpy())
-            if len(pdf)
-            else np.zeros((0, dim), dtype=np.float64)
-        )
+    if unit_mat is None:
+        if n is None:
+            n = emb.count()
+        # Cap in measured bytes: dim probed from one row (limit-1 scan).
+        head = emb.select(F.size(F.col(vec_col)).alias("d")).head()
+        dim = int(head["d"]) if head is not None else 0
+        if n * dim * 8 <= BROADCAST_SCORE_MAX_BYTES:
+            unit_mat = _collect_unit_matrix(emb, id_col, vec_col, dim)
+
+    if unit_mat is not None:
+        ids, mat = unit_mat
         index = {int(i): pos for pos, i in enumerate(ids)}
         bc = spark.sparkContext.broadcast((index, mat))
 
@@ -279,8 +361,8 @@ def lsh_topk(
     dim: int,
     k: int = 5,
     planes: int | None = None,
-    tables: int = 16,
-    multiprobe: int = 2,
+    tables: int = 12,
+    multiprobe: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates = pairs sharing any table's bucket
     (deduplicated), then exact cosine ranking of candidates only.
@@ -292,27 +374,46 @@ def lsh_topk(
     candidate generation stays near-linear as n grows instead of
     quadratic (fixed planes degenerate at scale).
 
-    ``multiprobe`` (default 2) enables QUERY-DIRECTED multiprobe: the
-    probe side also checks, per table, the buckets reached by flipping
-    its ``multiprobe`` lowest-margin sign bits — the recall lever that
-    does NOT add tables. Needed because auto-sizing adds planes as n
-    grows, which decays per-table collision odds: without probing,
-    recall@5 measured 0.89 at 500 vectors but 0.61 at 2000 (the sf0.1
-    gate caught it); with 2 directed probes, ≥0.95 at both. Directed
-    beats flip-everything: all-bit probing costs ×(planes+1) probe
-    rows (measured 6× slower end-to-end) where the two lowest-margin
-    bits capture most boundary misses for ×3. The build side keeps
-    exact keys only, so no pair is double-generated across probe
-    ranks. ``multiprobe=0`` restores exact-bucket probing. Recall is
-    validated against ``brute_force_topk`` in tests AND in-gate via
-    ``ann_recall_report`` (approx operators get recall thresholds,
-    not hash equality — SURVEY.md §7 risk register).
+    ``multiprobe`` enables QUERY-DIRECTED multiprobe (Lv et al.): the
+    probe side also checks, per table, the ``multiprobe`` next-likeliest
+    buckets from the margin-ranked perturbation sequence (subsets of
+    the 3 lowest-|margin| sign bits ordered by summed margin) — the
+    recall lever that does NOT add tables. ``multiprobe=None``
+    auto-sizes it to ``max(2, planes-2)``: probe depth must GROW with
+    key width, because auto-sizing adds planes as n grows, which
+    decays per-table exact-key collision odds — a FIXED probe count
+    then decays recall exactly like r2's fixed-planes bug (measured
+    0.995 → 0.93 recall@5 from 500 to 2000 vectors at 2 probes;
+    planes-2 probes holds ≥0.95 at both, r3 sweep). Directed beats
+    flip-everything: all-bit probing costs ×(planes+1) probe rows
+    (measured 6× slower end-to-end) where the ranked low-margin
+    subsets capture most boundary misses at ×(multiprobe+1). The
+    build side keeps exact keys only, so no pair is double-generated
+    across probe ranks. ``multiprobe=0`` restores exact-bucket
+    probing. Recall is validated against ``brute_force_topk`` in
+    tests AND in-gate via ``ann_recall_report`` (approx operators get
+    recall thresholds, not hash equality — SURVEY.md §7 risk
+    register).
     """
-    n = emb.count()  # counted ONCE; reused for auto-sizing + scoring path
+    # ONE sizing job on the happy path: try to collect the normalized
+    # matrix under the byte cap (needed for broadcast scoring anyway);
+    # its length is the vector count that drives auto-sizing. Only an
+    # over-cap corpus pays a separate count.
+    unit_mat = _collect_unit_matrix(emb, id_col, vec_col, dim)
+    n = len(unit_mat[0]) if unit_mat is not None else emb.count()
     if planes is None:
         import math
 
         planes = max(4, math.ceil(math.log2(max(n, 64) / 32)))
+    if multiprobe is None:
+        # Probe depth must GROW with key width: auto-sizing adds planes
+        # as the corpus grows (bucket target ~32), which decays
+        # per-table exact-key collision odds; a fixed probe count then
+        # decays recall exactly like r2's fixed-planes bug. planes-2
+        # probes from the margin-ranked subset sequence measured ≥0.95
+        # recall@5 at every tested size (0.995 @ 500 vecs/4 planes,
+        # 0.955 @ 2000 vecs/6 planes, 12 tables).
+        multiprobe = max(2, planes - 2)
     # Persisted: the self-join reads the bucketed keys from BOTH sides,
     # and without the persist each side re-runs the scan + bucket UDF.
     # Rows are (id, table, rank, bucket) ints — tiny vs the vectors.
@@ -325,13 +426,34 @@ def lsh_topk(
     right = b.filter(F.col("probe_rank") == 0).select(
         F.col(id_col).alias("neighbor_id"), "table", "bucket"
     )
+    if n * tables * 24 <= BROADCAST_BUILD_MAX_BYTES:
+        # Exact-key side is ids+ints only; under the byte gate a
+        # broadcast-hash join deletes BOTH shuffle exchanges of the
+        # candidate join (the probe side then flows map-side into the
+        # single query_id repartition below). Past the gate — a real
+        # corpus — the join shuffles on (table, bucket) as designed.
+        right = F.broadcast(right)
+    # Candidate multiset: a pair appears once per (table × probe) it
+    # collides in — up to tables·(probes+1)×. Deduplicate BEFORE
+    # scoring with a plain distinct: the partial (map-side) aggregate
+    # collapses most duplicates BEFORE the exchange, so the wire
+    # carries ~distinct pairs, not the multiset. (Deferring dedup into
+    # the ranking window was measured ~30% slower — the window then
+    # sorts the whole multiset; pre-repartitioning by query_id was no
+    # better: the Arrow scoring node doesn't propagate partitioning,
+    # so the window re-exchanges anyway AND the multiset crosses the
+    # wire unreduced.) Net plan under the byte gates: broadcast-hash
+    # candidate join + two slim exchanges (distinct pairs, then scored
+    # pairs for the window) — pinned in tests/test_plans.py.
     cand = (
         left.join(right, ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = _score_pairs(emb, id_col, vec_col, cand, n=n)
+    scored = _score_pairs(
+        emb, id_col, vec_col, cand, n=n, unit_mat=unit_mat
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )

@@ -1134,12 +1134,13 @@ def embedding_cosine_topk(spark, sf_dir):
 @_register("embedding_lsh_topk", None)  # approximate → rows-only check
 def embedding_lsh_topk(spark, sf_dir):
     """ANN scale path: multi-table random-hyperplane LSH (deterministic
-    md5-derived hyperplanes; 16 tables x 4 planes, ~0.9 recall@5 on the
-    test embeddings), exact cosine ranking of candidates only.
+    md5-derived hyperplanes; 12 tables, planes and directed-multiprobe
+    depth auto-sized to the corpus — ≥0.95 recall@5 at every tested
+    size), exact cosine ranking of candidates only.
     Approximate ⇒ no SQL oracle; recall vs brute force is asserted in
     tests (SURVEY.md §7 risk register)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, "vec_id", "embedding", dim=64, k=5, tables=16)
+    return lsh_topk(emb, "vec_id", "embedding", dim=64, k=5)
 
 
 @_register(

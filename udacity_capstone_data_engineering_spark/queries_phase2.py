@@ -1054,6 +1054,6 @@ def ann_recall_report(spark, sf_dir):
             (F.col("hits") / F.col("n_pairs") >= F.lit(0.8)).alias("recall_ok"),
         )
 
-    lsh = lsh_topk(emb, "vec_id", "embedding", dim=64, k=5, tables=16)
+    lsh = lsh_topk(emb, "vec_id", "embedding", dim=64, k=5)
     ivf = ivf_topk(emb, "vec_id", "embedding", k=5, n_centroids=16, nprobe=12)
     return method_row("lsh", lsh).unionAll(method_row("ivf", ivf))
