@@ -1,0 +1,193 @@
+"""Golden-parity: the engine's star-schema build vs the reference's own
+committed outputs (VERDICT r2 #3).
+
+The reference repo ships both its INPUTS (`/root/reference/data/`) and
+its materialized OUTPUTS (`/root/reference/s3a/udatalake/*.parquet` —
+committed there because the malformed `"s3a//udatalake/"` URI at ref
+`etl.py:301-302` resolved as a relative local path). That makes the
+outputs usable as golden data: these tests run the engine's rebuilt
+pipeline (`plans/star_schema.py`) over the reference's real inputs —
+read-only — and check it reproduces the reference's row counts and
+value sets, EXCEPT where the reference's five documented defects were
+deliberately fixed, where the tests assert the fix on real data:
+
+  - fill-0-vs-9 (ref etl.py:170-171): the committed fact has i94mode=0
+    rows (a key absent from its own dim); the engine fills 9.
+  - dead-match temperature join (ref etl.py:212,218): the committed
+    country.parquet has 0/289 non-null AverageTemperature; the engine's
+    case-correct join matches >0 on the same lookup.
+
+The temperature CSV itself is NOT in the reference repo (ref
+etl.py:205 reads an external `../../data2/` path), so the join-fix
+probe synthesizes temperatures keyed by the REAL lookup's country
+names in mixed case — reproducing exactly the case pattern the
+reference's join died on.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+REF = "/root/reference"
+GOLD = f"{REF}/s3a/udatalake"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(GOLD), reason="reference outputs not present"
+)
+
+
+def _gold(table: str, cols: str = "*"):
+    return duckdb.sql(
+        f"SELECT {cols} FROM '{GOLD}/{table}.parquet/*.parquet'"
+    )
+
+
+@pytest.fixture(scope="module")
+def star(spark, tmp_path_factory):
+    """Run the engine's star-schema build ONCE over the reference's real
+    inputs; share the outputs across tests in this module."""
+    from udacity_capstone_data_engineering_spark.plans.star_schema import (
+        build_star_schema,
+    )
+    from udacity_capstone_data_engineering_spark.sources.readers import read_csv
+
+    immigration_raw = spark.read.parquet(f"{REF}/data/sas_data")
+    demographics_raw = read_csv(
+        spark,
+        f"{REF}/data/us-cities-demographics.csv",
+        sep=";",
+        header=True,
+        infer_schema=True,
+    )
+    country_lookup_raw = read_csv(
+        spark, f"{REF}/data/I94CIT_I94RES.csv", header=True, infer_schema=True
+    )
+    # Mixed-case country names from the REAL lookup — the exact shape
+    # whose case mismatch zeroed the reference's join.
+    temperature_raw = country_lookup_raw.select(
+        F.initcap(F.lower(F.col("I94CTRY"))).alias("Country"),
+        (F.length("I94CTRY") % 30 + 1.5).cast("string").alias(
+            "AverageTemperature"
+        ),
+    )
+    workdir = str(tmp_path_factory.mktemp("star_gold"))
+    return build_star_schema(
+        spark,
+        immigration_raw,
+        demographics_raw,
+        temperature_raw,
+        country_lookup_raw,
+        workdir,
+    )
+
+
+class TestFactParity:
+    def test_row_count_preserved(self, star):
+        got = star["immigration_fact"].count()
+        want = _gold("immigration", "count(*)").fetchone()[0]
+        assert want == 3_096_313  # pin the known golden count itself
+        assert got == want, "cleaning must drop columns, not rows"
+
+    def test_arrdate_span_matches_golden(self, star):
+        got = star["immigration_fact"].agg(
+            F.min("arrdate"), F.max("arrdate")
+        ).first()
+        want = _gold("immigration", "min(arrdate), max(arrdate)").fetchone()
+        assert (got[0], got[1]) == (int(want[0]), int(want[1]))
+
+    def test_mode_fill_is_9_not_0(self, star):
+        """The committed fact filled unreported mode with 0 — a key its
+        own i94mode dim doesn't contain. The engine fills 9."""
+        n_ref_zero, n_ref_nine = duckdb.sql(
+            "SELECT count(*) FILTER (i94mode = 0),"
+            "       count(*) FILTER (i94mode = 9) "
+            f"FROM '{GOLD}/immigration.parquet/*.parquet'"
+        ).fetchone()
+        assert n_ref_zero > 0, "golden data should exhibit the 0-fill bug"
+        fact = star["immigration_fact"]
+        assert fact.filter(F.col("i94mode").isNull()).count() == 0
+        assert fact.filter(F.col("i94mode") == 0).count() == 0
+        n_nine = fact.filter(F.col("i94mode") == 9).count()
+        # The raw data carries genuine 9 ("Not reported") rows; the fix
+        # adds the formerly-zero-filled nulls to that bucket.
+        assert n_nine == n_ref_zero + n_ref_nine, (
+            "every row the reference zero-filled must be nine-filled here"
+        )
+
+    def test_every_fact_mode_in_dim(self, star):
+        """Post-fix referential integrity the reference's output lacks:
+        all fact i94mode values resolve against the dim."""
+        dim_keys = {r[0] for r in star["i94mode_dim"].select("i94mode").collect()}
+        fact_keys = {
+            r[0]
+            for r in star["immigration_fact"].select("i94mode").distinct().collect()
+        }
+        assert fact_keys <= dim_keys
+
+
+class TestDimParity:
+    def test_small_dim_cardinalities(self, star):
+        assert star["i94mode_dim"].count() == 4
+        assert star["i94visa_dim"].count() == 3
+        assert _gold("i94mode", "count(*)").fetchone()[0] == 4
+        assert _gold("i94visa", "count(*)").fetchone()[0] == 3
+
+    def test_demographics_groups_match_golden(self, star):
+        dem = star["demographics_dim"]
+        assert dem.count() == 596
+        got = {
+            (r["City"], r["State"], r["State Code"], r["total_population"])
+            for r in dem.collect()
+        }
+        want = {
+            tuple(t)
+            for t in _gold(
+                "us_cities_demographics",
+                '"City", "State", "State Code", total_population',
+            ).fetchall()
+        }
+        assert got == want
+
+    def test_country_codes_match_golden(self, star):
+        country = star["country_dim"]
+        assert country.count() == 289
+        got = {r["Code"] for r in country.select("Code").collect()}
+        want = {t[0] for t in _gold("country", "Code").fetchall()}
+        assert got == want
+
+    def test_calendar_covers_april_2016(self, star):
+        cal = star["i94date_dim"]
+        n_gold = _gold("i94date", "count(*)").fetchone()[0]
+        assert n_gold == 30
+        assert cal.count() == 30
+        got_days = {
+            r[0].isoformat() for r in cal.select("arrival_date").collect()
+        }
+        assert got_days == {f"2016-04-{d:02d}" for d in range(1, 31)}
+        got_sas = {r[0] for r in cal.select("arrival_sasdate").collect()}
+        want_sas = {int(t[0]) for t in _gold("i94date", "arrival_sasdate").fetchall()}
+        assert got_sas == want_sas
+
+
+class TestCountryJoinFix:
+    def test_reference_golden_has_zero_matched_temperatures(self):
+        """Document the defect in the golden data itself: the committed
+        country dim never matched a temperature row."""
+        n_nonnull = duckdb.sql(
+            f"SELECT count(AverageTemperature) FROM '{GOLD}/country.parquet/*.parquet'"
+        ).fetchone()[0]
+        assert n_nonnull == 0
+
+    def test_engine_join_matches_on_same_lookup(self, star):
+        """Same 289-row lookup, case-correct join: most countries now
+        carry a temperature."""
+        n_nonnull = (
+            star["country_dim"]
+            .filter(F.col("avg_temperature").isNotNull())
+            .count()
+        )
+        assert n_nonnull > 200, n_nonnull

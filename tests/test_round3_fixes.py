@@ -101,3 +101,80 @@ class TestNoDriverCollect:
             if ".collect()" in line.split("#")[0]
         ]
         assert hits == [], f"driver-side collect crept back in: {hits}"
+
+
+class TestBoilerplateSkew:
+    """VERDICT r2 #6: LSH bucket skew on a boilerplate-heavy corpus.
+
+    20% of the docs are byte-identical copies of one template — the
+    realistic web-corpus shape (nav chrome, disclaimers). Uncollapsed,
+    every copy lands in the same bucket in every band and in-bucket
+    pair enumeration goes quadratic in the copy count; the exact-
+    collapse valve keeps the near-dup tier sub-quadratic.
+    """
+
+    @staticmethod
+    def _corpus(spark, n=500, template_share=0.2):
+        template = "all rights reserved contact us privacy policy terms of service apply here"
+        n_tpl = int(n * template_share)
+        rows = [(i, template) for i in range(n_tpl)]
+        for i in range(n_tpl, n):
+            words = " ".join(f"w{(i * 7 + j * 131) % 9973}" for j in range(12))
+            rows.append((i, words))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_exact_collapse_representatives(self, spark):
+        from udacity_capstone_data_engineering_spark.operators.dedup import (
+            collapse_exact_duplicates,
+        )
+
+        docs = self._corpus(spark)
+        reps = collapse_exact_duplicates(docs, "text", "doc_id")
+        assert reps.count() == 401  # 1 template rep + 400 distinct
+        tpl = reps.filter("group_size > 1").collect()
+        assert len(tpl) == 1 and tpl[0]["group_size"] == 100
+        assert tpl[0]["doc_id"] == 0  # deterministic minimal-id rep
+
+    def test_collapsed_candidates_subquadratic(self, spark):
+        from udacity_capstone_data_engineering_spark.operators.dedup import (
+            collapse_exact_duplicates,
+            lsh_candidate_pairs,
+            minhash_signatures,
+        )
+
+        docs = self._corpus(spark)
+        raw = lsh_candidate_pairs(
+            minhash_signatures(docs, "text", "doc_id"), "doc_id"
+        ).count()
+        assert raw >= 4950, "fixture must exhibit the quadratic blowup"
+
+        reps = collapse_exact_duplicates(docs, "text", "doc_id")
+        collapsed = lsh_candidate_pairs(
+            minhash_signatures(reps, "text", "doc_id"), "doc_id"
+        ).count()
+        assert collapsed < 500, (
+            f"collapsed candidate count must be sub-quadratic: {collapsed}"
+        )
+
+    def test_near_dup_pairs_collapsed_carries_copy_counts(self, spark):
+        from udacity_capstone_data_engineering_spark.operators.dedup import (
+            near_dup_pairs_collapsed,
+        )
+
+        docs = self._corpus(spark, n=300)
+        # add a true near-dup of the template (one word changed) so the
+        # verified output is non-trivially exercised
+        extra = self._corpus(spark, n=0).sparkSession.createDataFrame(
+            [(9_000, "all rights reserved contact us privacy policy terms of service apply now")],
+            "doc_id long, text string",
+        )
+        out = near_dup_pairs_collapsed(
+            docs.unionByName(extra), "text", "doc_id", threshold=0.5
+        ).collect()
+        assert out, "template variant must be detected as a near-dup"
+        for r in out:
+            assert r["copies_a"] >= 1 and r["copies_b"] >= 1
+        tpl_pair = [r for r in out if r["id_b"] == 9_000 or r["id_a"] == 9_000]
+        assert tpl_pair and max(
+            max(r["copies_a"], r["copies_b"]) for r in tpl_pair
+        ) == 60  # the 20%-of-300 template group rides along on its rep

@@ -44,6 +44,77 @@ def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def collapse_exact_duplicates(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """One representative row per distinct content: (id, text,
+    group_size), representative = minimal id.
+
+    This is the SKEW VALVE in front of the near-dup tier. A
+    boilerplate-heavy corpus (real web data: templates, legal
+    disclaimers, scraped nav chrome) puts every copy of a template
+    into the SAME LSH bucket in EVERY band — in-bucket pair
+    enumeration is then quadratic in the template's copy count (20%
+    of a 1 B-doc corpus sharing one template = 4×10^16 pairs: game
+    over, and AQE cannot split compute that a single bucket's explode
+    generates). Byte-identical copies carry zero information for
+    NEAR-dup detection, so collapse them first with one cheap
+    fingerprint shuffle; the minhash/LSH tier then sees one
+    representative per template and its bucket sizes reflect genuine
+    near-duplicate structure. Pair counts drop from O(copies²) to
+    O(reps²-within-bucket); exact-duplicate membership stays available
+    via :func:`exact_duplicates` for cluster reassembly.
+    """
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .groupBy(F.md5(F.col(text_col).cast("binary")).alias("__fp"))
+        .agg(F.min(F.struct(id_col, text_col)).alias("__rep"), F.count(F.lit(1)).alias("group_size"))
+        .select(
+            F.col(f"__rep.{id_col}").alias(id_col),
+            F.col(f"__rep.{text_col}").alias(text_col),
+            "group_size",
+        )
+    )
+
+
+def near_dup_pairs_collapsed(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    bands: int = 4,
+    num_hashes: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Boilerplate-robust near-dup detection: exact-collapse →
+    MinHash-LSH over representatives → Jaccard verify.
+
+    Returns (id_a, id_b, jaccard, copies_a, copies_b): verified
+    near-dup REPRESENTATIVE pairs with each side's exact-copy count —
+    enough to reconstruct full duplicate clusters (each rep stands for
+    its byte-identical group) without ever enumerating the quadratic
+    intra-template pairs.
+    """
+    reps = collapse_exact_duplicates(df, text_col, id_col)
+    sigs = minhash_signatures(reps, text_col, id_col, num_hashes=num_hashes, shingle_k=shingle_k)
+    cands = lsh_candidate_pairs(sigs, id_col, bands=bands, num_hashes=num_hashes)
+    verified = jaccard_pairs(reps, text_col, id_col, cands, shingle_k=shingle_k).filter(
+        F.col("jaccard") >= threshold
+    )
+    sizes = reps.select(F.col(id_col), F.col("group_size"))
+    return (
+        verified.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("group_size").alias("copies_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("group_size").alias("copies_b")),
+            "id_b",
+        )
+        .select("id_a", "id_b", "jaccard", "copies_a", "copies_b")
+    )
+
+
 MERSENNE31 = 2_147_483_647  # 2^31 - 1: affine-hash modulus; products fit int64
 
 

@@ -115,6 +115,48 @@ def fan_out_small_scan(df: DataFrame, min_partitions: int | None = None) -> Data
     return df
 
 
+def materialize_partitioned(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    dest_dir: str,
+    partition_col: str = "event_date",
+) -> str:
+    """Rewrite a catalog table into a date-partitioned at-rest layout;
+    returns the partitioned table's path.
+
+    The flat driver parquet is the TEST shape; the 100-TB shape is
+    hive-partitioned on the natural pruning key (the reference's own
+    100× proposal — month-partitioning, notebook cell 45 — which it
+    never implemented). For ``events`` the key is the event DATE
+    derived from the normalized ``ts``: a date-ranged query then
+    prunes partitions at PLANNING time (PartitionFilters) and a join
+    against a filtered date dim prunes them at RUNTIME (dynamic
+    partition pruning) — both asserted in ``tests/test_plans.py``.
+    Other tables pass an existing column as ``partition_col``.
+    """
+    from pyspark.sql import functions as F
+
+    df = load_table(spark, sf_dir, name)
+    if name == "events" and partition_col == "event_date":
+        df = df.withColumn("event_date", F.to_date("ts"))
+    out = posixpath.join(dest_dir, f"{name}_by_{partition_col}.parquet")
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(out)
+    return out
+
+
+def load_partitioned(
+    spark: SparkSession, path: str, partition_col: str = "event_date"
+) -> DataFrame:
+    """Lazy scan of a :func:`materialize_partitioned` layout.
+
+    The partition column comes back from directory names (hive-style
+    discovery); filters on it never touch data files. Everything else
+    reads exactly as :func:`load_table` produced it — ``events.ts`` was
+    normalized BEFORE the partitioned write, so no re-normalization."""
+    return spark.read.parquet(path)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Load several tables at once; defaults to the full catalog."""
     use = names or TABLES
