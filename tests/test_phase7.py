@@ -1,0 +1,103 @@
+"""Phase-7 operator unit tests: containment join, sequence packing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+class TestContainmentJoin:
+    def test_quote_inside_article_detected_directionally(self, spark):
+        from udacity_capstone_data_engineering_spark.operators.jaccard import (
+            containment_join,
+        )
+
+        quote = "alpha beta gamma delta epsilon zeta"
+        article = quote + " " + " ".join(f"word{i}" for i in range(60))
+        other = " ".join(f"noise{i}" for i in range(30))
+        df = spark.createDataFrame(
+            [(1, quote), (2, article), (3, other)], "doc_id long, text string"
+        )
+        rows = {
+            (r.id_a, r.id_b): r.containment
+            for r in containment_join(df, "text", "doc_id", 0.9, shingle_k=2).collect()
+        }
+        assert rows.get((1, 2)) == 1.0  # quote fully contained in article
+        assert (2, 1) not in rows  # article NOT contained in quote
+        assert not any(3 in p for p in rows)
+
+    def test_matches_naive_quadratic(self, spark, sf_dir):
+        from udacity_capstone_data_engineering_spark.functions.text import (
+            word_shingles,
+        )
+        from udacity_capstone_data_engineering_spark.operators.jaccard import (
+            containment_join,
+        )
+
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") % 7 == 0)
+        )
+        got = {
+            (r.id_a, r.id_b)
+            for r in containment_join(docs, "text", "doc_id", 0.25, shingle_k=2).collect()
+        }
+        sh = docs.select("doc_id", word_shingles("text", k=2).alias("sh"))
+        a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
+        b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
+        naive = (
+            a.crossJoin(b)
+            .filter("id_a <> id_b")
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.size(F.array_intersect("sa", "sb"))
+                    / F.greatest(F.size("sa"), F.lit(1))
+                ).alias("c"),
+            )
+            .filter("c >= 0.25")
+        )
+        want = {(r.id_a, r.id_b) for r in naive.collect()}
+        assert got == want  # prefix filter loses nothing
+
+
+class TestPacking:
+    def test_budget_and_contiguity(self, spark):
+        from udacity_capstone_data_engineering_spark.operators.packing import (
+            pack_contiguous,
+        )
+
+        df = spark.createDataFrame(
+            [(i, 100 + (i % 7) * 30) for i in range(200)], "id long, w long"
+        )
+        out = pack_contiguous(df, "id", "w", budget=500, buckets=4).collect()
+        packs = {}
+        for r in out:
+            packs.setdefault((r.bucket, r.pack_id), []).append(r)
+        for (_, _), rows in packs.items():
+            total = sum(r.weight for r in rows)
+            # greedy contiguous: a pack only exceeds the budget by
+            # (at most) its final member
+            assert total - max(r.weight for r in rows) < 500
+        # pack ids are dense and start at 0 within each bucket
+        for b in {r.bucket for r in out}:
+            ids = sorted({r.pack_id for r in out if r.bucket == b})
+            assert ids == list(range(len(ids)))
+
+    def test_repartition_invariant(self, spark):
+        from udacity_capstone_data_engineering_spark.operators.packing import (
+            pack_contiguous,
+        )
+
+        df = spark.createDataFrame(
+            [(i, 50 + i % 11) for i in range(300)], "id long, w long"
+        )
+        one = {
+            (r.id, r.bucket, r.pack_id)
+            for r in pack_contiguous(df.coalesce(1), "id", "w", 400).collect()
+        }
+        many = {
+            (r.id, r.bucket, r.pack_id)
+            for r in pack_contiguous(df.repartition(13), "id", "w", 400).collect()
+        }
+        assert one == many

@@ -110,3 +110,56 @@ def jaccard_similarity_join(
 def prefix_length(set_size: int, threshold: float) -> int:
     """Python twin of the prefix-length formula, for tests."""
     return set_size - math.ceil(set_size * threshold) + 1
+
+
+def containment_join(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Directional containment join: all ordered pairs (id_a, id_b),
+    a ≠ b, with shingle containment |A∩B| / |A| >= threshold — "A is
+    (mostly) inside B".
+
+    The asymmetric sibling of :func:`jaccard_similarity_join`, and the
+    measure Jaccard systematically misses: a 50-shingle quote fully
+    embedded in a 5000-shingle article has containment 1.0 but Jaccard
+    ≈ 0.01. Training pipelines need this direction for sub-document
+    dedup (boilerplate inclusions, quoted passages) and benchmark
+    decontamination.
+
+    Prefix filter, containment version: c(A,B) >= t implies
+    |A∩B| >= ceil(t·|A|), so A's first |A| - ceil(t·|A|) + 1 hashes
+    under the global order must hit B — but B's MATCHING element may
+    sit anywhere in B, so the probe side keeps prefixes while the
+    build side indexes ALL its hashes (this asymmetry is why
+    containment costs more than Jaccard at equal thresholds; output
+    is still linear-ish for natural text vs the quadratic cross join).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sets = _hash_sets(df, text_col, id_col, shingle_k)
+
+    n = F.size("hset")
+    plen = n - F.ceil(n * F.lit(threshold)).cast("int") + 1
+    prefix = sets.select(
+        F.col(id_col).alias("id_a"), F.explode(F.slice("hset", 1, plen)).alias("ph")
+    )
+    full = sets.select(F.col(id_col).alias("id_b"), F.explode("hset").alias("ph"))
+    cands = (
+        prefix.join(full, "ph")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("hset").alias("__ha"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("hset").alias("__hb"))
+    verified = cands.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("__ha", "__hb"))
+    cont = F.round(inter / F.greatest(F.size("__ha"), F.lit(1)), 6)
+    return verified.select("id_a", "id_b", cont.alias("containment")).filter(
+        F.col("containment") >= threshold
+    )
