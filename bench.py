@@ -62,6 +62,15 @@ HEADLINE = [
     "fuzzy_name_pairs",
     "doc_chunks_overlap",
     "corpus_prep_pipeline",
+    # round 3: phase-7 tier + partitioned catalog + skew valve
+    "near_dup_collapsed",
+    "decontam_ngram_overlap",
+    "containment_pairs",
+    "pack_sequences",
+    "blocklist_audit",
+    "embedding_int8_quantize",
+    "rerank_two_stage",
+    "partitioned_catalog_roundtrip",
 ]
 
 

@@ -101,3 +101,35 @@ class TestPacking:
             for r in pack_contiguous(df.repartition(13), "id", "w", 400).collect()
         }
         assert one == many
+
+
+class TestInt8Quantization:
+    def test_recall_preserved_after_quantization(self, spark, sf_dir):
+        """int8 round-trip must keep the exact top-k mostly intact —
+        the property that makes the 4x memory cut usable in serving."""
+        from udacity_capstone_data_engineering_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        v = F.col("embedding").cast("array<double>")
+        amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+        scale = 127.0 / F.greatest(amax, F.lit(1e-30))
+        deq = F.transform(
+            v,
+            lambda x: F.greatest(
+                F.least(F.floor(x * scale + 0.5), F.lit(127.0)), F.lit(-127.0)
+            )
+            / scale,
+        )
+        qemb = emb.select("vec_id", deq.cast("array<float>").alias("embedding"))
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in brute_force_topk(emb, "vec_id", "embedding", k=5).collect()
+        }
+        quant = {
+            (r.query_id, r.neighbor_id)
+            for r in brute_force_topk(qemb, "vec_id", "embedding", k=5).collect()
+        }
+        recall = len(exact & quant) / len(exact)
+        assert recall >= 0.9, f"int8 quantization lost too much: {recall}"
