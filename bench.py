@@ -71,6 +71,12 @@ HEADLINE = [
     "embedding_int8_quantize",
     "rerank_two_stage",
     "partitioned_catalog_roundtrip",
+    # round 3: phase-8 behavioral analytics tier
+    "funnel_conversion",
+    "cohort_retention_weekly",
+    "event_transition_matrix",
+    "copurchase_part_pairs",
+    "rfm_customer_segments",
 ]
 
 

@@ -1,0 +1,270 @@
+"""Phase-8 behavioral-analytics semantics tests: funnel ordering,
+cohort offsets, transition shares, basket pairing, RFM quintiles.
+
+The oracle gate proves value parity with DuckDB on the driver tables;
+these tests pin the SEMANTIC edge cases oracles share by construction
+(a funnel that ignores ordering would still match an
+ordering-ignoring oracle) against hand-built fixtures.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from udacity_capstone_data_engineering_spark import (
+    queries_phase8,  # noqa: F401  (registers the tier)
+)
+from udacity_capstone_data_engineering_spark.queries import _REGISTRY
+
+
+def _q(name):
+    return _REGISTRY[name][0]
+
+
+def _write_events(spark, tmp_path, rows):
+    """Write a tiny events.parquet fixture shaped like the catalog's."""
+    df = spark.createDataFrame(
+        [
+            (i, ts, uid, et, 1.0, "{}")
+            for i, (ts, uid, et) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    return str(tmp_path)
+
+
+class TestFunnelOrdering:
+    def test_out_of_order_purchase_does_not_count(self, spark, tmp_path):
+        t0 = dt.datetime(2024, 1, 1)
+
+        def at(minute):
+            return t0 + dt.timedelta(minutes=minute)
+
+        rows = [
+            # user 1: proper view -> click -> purchase
+            (at(0), 1, "view"),
+            (at(1), 1, "click"),
+            (at(2), 1, "purchase"),
+            # user 2: purchase BEFORE click -> reaches click step only
+            (at(0), 2, "view"),
+            (at(1), 2, "purchase"),
+            (at(2), 2, "click"),
+            # user 3: click before any view -> reaches view step only
+            (at(0), 3, "click"),
+            (at(1), 3, "view"),
+            # user 4: never views -> in no step
+            (at(0), 4, "purchase"),
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        out = {
+            r["step"]: (r["step_order"], r["users"])
+            for r in _q("funnel_conversion")(spark, sf).collect()
+        }
+        assert out == {
+            "view": (1, 3),
+            "click": (2, 2),
+            "purchase": (3, 1),
+        }
+
+    def test_conversion_rates(self, spark, sf_dir):
+        rows = _q("funnel_conversion")(spark, sf_dir).collect()
+        by_order = sorted(rows, key=lambda r: r["step_order"])
+        assert by_order[0]["conv_from_prev"] is None
+        for prev, cur in zip(by_order, by_order[1:]):
+            assert cur["users"] <= prev["users"]  # funnels only narrow
+            if prev["users"]:
+                assert abs(
+                    cur["conv_from_prev"] - round(cur["users"] / prev["users"], 6)
+                ) < 1e-9
+
+
+class TestCohortRetention:
+    def test_offsets_start_at_zero_and_week0_counts_all(self, spark, sf_dir):
+        df = _q("cohort_retention_weekly")(spark, sf_dir)
+        rows = df.collect()
+        assert rows and all(r["week_offset"] >= 0 for r in rows)
+        # every user is active in their own cohort's week 0, so the sum
+        # of week-0 active_users equals the number of distinct users
+        week0 = sum(r["active_users"] for r in rows if r["week_offset"] == 0)
+        n_users = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        assert week0 == n_users
+
+
+class TestTransitionMatrix:
+    def test_shares_sum_to_one_per_prev(self, spark, sf_dir):
+        rows = _q("event_transition_matrix")(spark, sf_dir).collect()
+        assert rows
+        by_prev: dict[str, float] = {}
+        for r in rows:
+            by_prev[r["prev_type"]] = by_prev.get(r["prev_type"], 0.0) + (
+                r["share_from_prev"] or 0.0
+            )
+        for prev, total in by_prev.items():
+            assert abs(total - 1.0) < 1e-4, (prev, total)
+
+    def test_transition_count_is_events_minus_users(self, spark, sf_dir):
+        rows = _q("event_transition_matrix")(spark, sf_dir).collect()
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        n_events = ev.count()
+        n_users = ev.select("user_id").distinct().count()
+        assert sum(r["transitions"] for r in rows) == n_events - n_users
+
+
+class TestCopurchasePairs:
+    def test_pairs_canonical_and_support_correct(self, spark, sf_dir):
+        rows = _q("copurchase_part_pairs")(spark, sf_dir).collect()
+        assert rows and all(r["part_a"] < r["part_b"] for r in rows)
+        # spot-check the top pair's support against a direct count
+        top = rows[0]
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        n = (
+            li.filter(F.col("l_partkey") == top["part_a"])
+            .select("l_orderkey")
+            .distinct()
+            .join(
+                li.filter(F.col("l_partkey") == top["part_b"])
+                .select("l_orderkey")
+                .distinct(),
+                "l_orderkey",
+            )
+            .count()
+        )
+        assert n == top["n_orders"]
+
+    def test_no_cartesian_in_plan(self, spark, sf_dir):
+        plan = _q("copurchase_part_pairs")(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "TakeOrderedAndProject" in plan
+
+
+class TestConcurrentSessionsPeak:
+    def test_known_overlap_fixture(self, spark, tmp_path):
+        t0 = dt.datetime(2024, 1, 1)
+
+        def at(minute):
+            return t0 + dt.timedelta(minutes=minute)
+
+        rows = [
+            # user 1: one session [0, 10]
+            (at(0), 1, "view"),
+            (at(10), 1, "click"),
+            # user 2: one session [5, 15] (overlaps user 1 on [5, 10])
+            (at(5), 2, "view"),
+            (at(15), 2, "click"),
+            # user 3: session [8, 9] -> triple overlap on [8, 9]
+            (at(8), 3, "view"),
+            (at(9), 3, "click"),
+            # user 3 again after a >30min gap: second session, alone
+            (at(120), 3, "view"),
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        [r] = _q("concurrent_sessions_peak")(spark, sf).collect()
+        assert r["peak_concurrent"] == 3
+        assert r["first_peak_ts"] == at(8)
+
+    def test_matches_naive_interval_overlap(self, spark, sf_dir):
+        """Sweep-line result equals the quadratic self-join ground truth."""
+        [r] = _q("concurrent_sessions_peak")(spark, sf_dir).collect()
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        sess = (
+            ev.select(
+                "user_id",
+                "ts",
+                F.sum(
+                    F.when(
+                        F.col("ts") - F.lag("ts").over(w)
+                        > F.expr("INTERVAL 30 MINUTES"),
+                        1,
+                    ).otherwise(0)
+                )
+                .over(w.rowsBetween(Window.unboundedPreceding, 0))
+                .alias("sid"),
+            )
+            .groupBy("user_id", "sid")
+            .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+        )
+        a, b = sess.alias("a"), sess.alias("b")
+        # at each session start, count sessions covering that instant
+        naive_peak = (
+            a.crossJoin(b)
+            .filter(
+                (F.col("b.s") <= F.col("a.s")) & (F.col("b.e") >= F.col("a.s"))
+            )
+            .groupBy("a.user_id", "a.sid")
+            .agg(F.count(F.lit(1)).alias("active"))
+            .agg(F.max("active").alias("m"))
+            .collect()[0]["m"]
+        )
+        assert r["peak_concurrent"] == naive_peak
+
+
+class TestTimeWeightedAvg:
+    def test_hand_computed_weights(self, spark, tmp_path):
+        t0 = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [
+                # value 10 for 60s, value 20 for 30s, last row unweighted
+                (0, t0, 1, "view", 10.0, "{}"),
+                (1, t0 + dt.timedelta(seconds=60), 1, "view", 20.0, "{}"),
+                (2, t0 + dt.timedelta(seconds=90), 1, "view", 99.0, "{}"),
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(
+            f"{tmp_path}/events.parquet"
+        )
+        [r] = _q("time_weighted_avg_value")(spark, str(tmp_path)).collect()
+        assert r["observed_s"] == 90.0
+        assert abs(r["tw_avg_value"] - (10 * 60 + 20 * 30) / 90) < 1e-6
+
+    def test_observed_span_equals_first_to_last(self, spark, sf_dir):
+        rows = _q("time_weighted_avg_value")(spark, sf_dir).collect()
+        spans = {
+            r["user_id"]: r["span"]
+            for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+            .groupBy("user_id")
+            .agg(
+                (
+                    (
+                        F.unix_micros(F.max("ts").cast("timestamp"))
+                        - F.unix_micros(F.min("ts").cast("timestamp"))
+                    ).cast("double")
+                    / 1e6
+                ).alias("span")
+            )
+            .collect()
+        }
+        for r in rows:
+            assert abs(r["observed_s"] - spans[r["user_id"]]) < 1e-6
+
+
+class TestRFM:
+    def test_scores_are_quintiles_and_segment_concats(self, spark, sf_dir):
+        rows = _q("rfm_customer_segments")(spark, sf_dir).collect()
+        n = len(rows)
+        assert n > 0
+        for axis in ("r_score", "f_score", "m_score"):
+            vals = [r[axis] for r in rows]
+            assert set(vals) <= {1, 2, 3, 4, 5}
+            # ntile buckets differ in size by at most 1
+            sizes = [vals.count(k) for k in sorted(set(vals))]
+            assert max(sizes) - min(sizes) <= 1
+        for r in rows[:20]:
+            assert r["rfm"] == f"{r['r_score']}{r['f_score']}{r['m_score']}"
+        # most recent customer scores r=5; oldest scores r=1
+        by_recency = sorted(rows, key=lambda r: (r["recency_days"], r["custkey"]))
+        assert by_recency[0]["r_score"] == 5
+        assert by_recency[-1]["r_score"] == 1

@@ -420,6 +420,7 @@ def test_no_cartesian_anywhere_and_bnlj_only_where_documented(spark, sf_dir):
         "ann_recall_report",
         "embedding_cosine_topk",
         "embedding_dup_pairs",
+        "rerank_two_stage",  # stage-1 is the brute-force baseline (documented)
         # 1-row scalar-threshold broadcasts
         "approx_quantile_report",
         "tpch_q11_important_parts",

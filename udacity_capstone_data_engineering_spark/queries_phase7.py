@@ -317,7 +317,14 @@ def rerank_two_stage(spark, sf_dir):
     ranked by the blend. At 100 TB the stage-2 model (the costly part)
     touches k1·queries rows instead of corpus·queries; the md5 stub
     keeps the whole pipeline under the hash gate (swap one column
-    expression for a real scorer UDF in production)."""
+    expression for a real scorer UDF in production).
+
+    Stage-1 here is the brute-force exact scorer so the end-to-end
+    result stays deterministic and hash-checkable (its BNLJ is the
+    documented quadratic baseline, same family as
+    ``embedding_cosine_topk``); at 100 TB stage-1 is the drop-in
+    ``lsh_topk``/``ivf_topk`` ANN tier — the stage-2 blend and top-k
+    are unchanged by that swap."""
     from udacity_capstone_data_engineering_spark.operators.similarity import (
         brute_force_topk,
     )

@@ -1,0 +1,544 @@
+"""Phase-8 query tier (round 3): behavioral / product analytics over
+the event stream and the order history — the funnel, cohort, path,
+market-basket, and customer-scoring queries an analytics engine is
+asked for once the relational + corpus tiers exist. (The reference's
+own analytical query — notebook cell ~40, a dimensional join + group
+count — is the seed; these are the standard generalizations of it.)
+
+All JVM-side builtins, no UDFs; every query oracle-paired. Scale
+notes inline per query: every shape here is one-or-two shuffles keyed
+on user/order/cohort, nothing pairwise except the basket self-join,
+which is quadratic only in basket size (bounded small by data model),
+never in order count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from udacity_capstone_data_engineering_spark.queries import _register
+from udacity_capstone_data_engineering_spark.sources.catalog import (
+    fan_out_small_scan,
+    load_table,
+)
+
+# ---------------------------------------------------------------------------
+# Ordered funnel: view -> click -> purchase
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "funnel_conversion",
+    """
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+        GROUP BY e.user_id),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id),
+    counts AS (
+        SELECT 1 AS step_order, 'view' AS step,
+               (SELECT count(*) FROM s1) AS users
+        UNION ALL
+        SELECT 2, 'click', (SELECT count(*) FROM s2)
+        UNION ALL
+        SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+    SELECT CAST(step_order AS INTEGER) AS step_order,
+           step,
+           CAST(users AS BIGINT) AS users,
+           round(CAST(users AS DOUBLE)
+                 / lag(users) OVER (ORDER BY step_order), 6)
+               AS conv_from_prev
+    FROM counts
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    """Ordered three-step funnel over the event stream: a user counts
+    for a step only if it happened STRICTLY AFTER their entry into the
+    previous step (first qualifying occurrence each time), so
+    purchase-before-click users do not inflate conversion — the
+    semantics of every product-analytics funnel, vs the naive
+    "has all three event types" set intersection.
+
+    Scale shape: each step is a filtered aggregate keyed on user_id
+    plus an equi-join back on user_id — shuffles carry (user_id,
+    timestamp) pairs only, and each successive step's build side
+    shrinks monotonically (funnels only narrow), so steps 2..k join
+    against ever-smaller sides. No window over the raw stream, no
+    per-user event collection; k-step cost is k linear passes."""
+    ev = fan_out_small_scan(load_table(spark, sf_dir, "events")).select(
+        "user_id", "event_type", "ts"
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def _count(df, order, name):
+        return df.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(order).cast("int").alias("step_order"),
+            F.lit(name).alias("step"),
+            F.col("users"),
+        )
+
+    counts = (
+        _count(s1, 1, "view")
+        .unionAll(_count(s2, 2, "click"))
+        .unionAll(_count(s3, 3, "purchase"))
+    )
+    w = Window.orderBy("step_order")
+    return counts.withColumn(
+        "conv_from_prev",
+        F.round(F.col("users") / F.lag("users").over(w), 6),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekly cohort retention
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "cohort_retention_weekly",
+    """
+    WITH first_seen AS (
+        SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id)
+    SELECT CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort_week,
+           CAST(floor(datediff('day',
+                               CAST(date_trunc('week', f.first_ts) AS DATE),
+                               CAST(e.ts AS DATE)) / 7.0) AS INTEGER)
+               AS week_offset,
+           count(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_weekly(spark, sf_dir):
+    """Weekly cohort retention: users grouped by the ISO week of their
+    first-ever event, then counted distinct in each subsequent week
+    offset — the triangle chart behind every retention dashboard.
+
+    Scale shape: one aggregate keyed on user_id (first-seen), one
+    equi-join back on user_id, one aggregate keyed on (cohort_week,
+    week_offset) — the distinct-count shuffle carries (cohort, offset,
+    user_id) triples, already far smaller than the raw stream. The
+    first-seen side is |users| rows; at real scale it is the side AQE
+    picks to broadcast or shuffle-hash, never the stream."""
+    ev = fan_out_small_scan(load_table(spark, sf_dir, "events")).select(
+        "user_id", "ts"
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    cohort = F.date_trunc("week", F.col("first_ts")).cast("date")
+    return (
+        ev.join(first_seen, "user_id")
+        .select(
+            cohort.alias("cohort_week"),
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), cohort) / F.lit(7.0)
+            )
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix (first-order Markov counts)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events)
+    SELECT prev_type,
+           event_type AS next_type,
+           count(*) AS transitions,
+           round(CAST(count(*) AS DOUBLE)
+                 / CAST(sum(count(*)) OVER (PARTITION BY prev_type)
+                        AS DOUBLE), 6) AS share_from_prev
+    FROM seq
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: for every (prev event type -> next event type) pair,
+    the transition count and its share of all transitions leaving
+    prev — the "what do users do next" path summary. Ordering is made
+    total with (ts, event_id) so lag() is deterministic under ties.
+
+    Scale shape: one window shuffle keyed on user_id (sort within
+    user is bounded by per-user activity), one aggregate keyed on the
+    tiny (prev, next) domain with map-side partial agg, and a window
+    over that domain-sized result for the shares. The raw stream is
+    shuffled exactly once."""
+    ev = fan_out_small_scan(load_table(spark, sf_dir, "events")).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    seq_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(seq_w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("transitions"))
+    )
+    share_w = Window.partitionBy("prev_type")
+    return pairs.withColumn(
+        "share_from_prev",
+        F.round(
+            F.col("transitions") / F.sum("transitions").over(share_w), 6
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence: part pairs ordered together
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "copurchase_part_pairs",
+    """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a,
+           b.l_partkey AS part_b,
+           count(*) AS n_orders
+    FROM items a
+    JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 100
+    """,
+)
+def copurchase_part_pairs(spark, sf_dir):
+    """Market-basket mining: the top co-purchased part pairs, counted
+    over distinct parts per order (quantity-insensitive), ranked by
+    support with a total (count, part_a, part_b) ordering so the
+    top-100 cut is deterministic.
+
+    Scale shape: the self-join is an equi-join ON ORDER KEY — pairs
+    are enumerated only within a basket, so the blowup is quadratic in
+    basket size (bounded small by the data model: line items per
+    order), NEVER in order count; total pair volume is
+    sum(basket_i^2), linear in orders for bounded baskets. One shuffle
+    keyed on l_orderkey co-locates each basket, the pair aggregate is
+    keyed on (part_a, part_b) with map-side combine, and the final
+    ranking is a TakeOrderedAndProject (per-partition top-100 then
+    driver merge — no global sort)."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line peak concurrency (no interval self-join)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "concurrent_sessions_peak",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                        > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+    sess AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged),
+    bounds AS (
+        SELECT user_id, session_id,
+               min(ts) AS t_start, max(ts) AS t_end
+        FROM sess GROUP BY user_id, session_id),
+    deltas AS (
+        SELECT t_start AS t, 1 AS d FROM bounds
+        UNION ALL
+        SELECT t_end AS t, -1 AS d FROM bounds),
+    timeline AS (
+        SELECT t, sum(d) AS net,
+               sum(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS n_ends
+        FROM deltas GROUP BY t),
+    running AS (
+        SELECT t,
+               sum(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                   + n_ends AS active
+        FROM timeline)
+    SELECT CAST(active AS BIGINT) AS peak_concurrent,
+           min(t) AS first_peak_ts
+    FROM running
+    WHERE active = (SELECT max(active) FROM running)
+    GROUP BY active
+    """,
+)
+def concurrent_sessions_peak(spark, sf_dir):
+    """Peak number of concurrently-active sessions (30-min-gap
+    sessions, active on the closed interval [first event, last
+    event]), plus the first instant the peak is reached — the classic
+    capacity-planning question, answered with a SWEEP LINE instead of
+    the quadratic interval self-join: sessions become +1/-1 boundary
+    deltas, deltas collapse per distinct instant (which also makes
+    tie-handling deterministic: concurrency AT t counts sessions
+    ending at t, i.e. running net + n_ends(t)), and a running sum over
+    the collapsed timeline yields the active count.
+
+    Scale shape: sessionization is one window shuffle on user_id;
+    boundary deltas collapse with a map-side-combining aggregate to
+    |distinct instants| rows, at most 2·sessions and typically far
+    fewer than raw events. The final running sum is a single ordered
+    window over that collapsed timeline — the one intentionally
+    unpartitioned pass, over the smallest relation in the plan (at
+    100 TB, two-level it: partition by coarse time bucket, prefix-sum
+    the per-bucket nets, add the offset — same results, no global
+    sort; the collapsed timeline here is small enough that the single
+    sort is the faster plan)."""
+    ev = fan_out_small_scan(load_table(spark, sf_dir, "events")).select(
+        "user_id", "ts", "event_id"
+    )
+    seq_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = ev.select(
+        "user_id",
+        "ts",
+        F.sum(
+            F.when(
+                F.col("ts") - F.lag("ts").over(seq_w)
+                > F.expr("INTERVAL 30 MINUTES"),
+                1,
+            ).otherwise(0)
+        )
+        .over(seq_w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    bounds = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("t_start"), F.max("ts").alias("t_end")
+    )
+    deltas = bounds.select(
+        F.col("t_start").alias("t"), F.lit(1).alias("d")
+    ).unionAll(
+        bounds.select(F.col("t_end").alias("t"), F.lit(-1).alias("d"))
+    )
+    timeline = deltas.groupBy("t").agg(
+        F.sum("d").alias("net"),
+        F.sum(F.when(F.col("d") == -1, 1).otherwise(0)).alias("n_ends"),
+    )
+    run_w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    running = timeline.select(
+        "t", (F.sum("net").over(run_w) + F.col("n_ends")).alias("active")
+    )
+    peak_w = Window.partitionBy()
+    return (
+        running.withColumn("peak", F.max("active").over(peak_w))
+        .filter(F.col("active") == F.col("peak"))
+        .groupBy(F.col("active").cast("bigint").alias("peak_concurrent"))
+        .agg(F.min("t").alias("first_peak_ts"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (duration-weighted, not row-weighted)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "time_weighted_avg_value",
+    """
+    WITH seq AS (
+        SELECT user_id,
+               CAST(value AS DECIMAL(18,2)) AS v,
+               date_diff('microsecond', ts,
+                         lead(ts) OVER (
+                             PARTITION BY user_id ORDER BY ts, event_id))
+                   AS dur_us
+        FROM events)
+    SELECT user_id,
+           round(CAST(sum(v * CAST(dur_us AS DECIMAL(20,0))) AS DOUBLE)
+                 / CAST(sum(dur_us) AS DOUBLE), 6) AS tw_avg_value,
+           CAST(sum(dur_us) AS DOUBLE) / 1000000.0 AS observed_s
+    FROM seq
+    WHERE dur_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def time_weighted_avg_value(spark, sf_dir):
+    """Time-weighted average of the event `value` per user: each
+    reading is weighted by how long it was current (until the user's
+    next event), the correct average for sampled gauges — a
+    row-weighted mean over-counts bursts of rapid events. The last
+    reading has no successor and contributes no observed time.
+
+    Determinism: weights are integer microseconds, values are cast to
+    exact decimals, so both weighted sums are exact (order-independent)
+    and the one double division at the end is IEEE-identical on both
+    engines — the same decimal-sum discipline as the relational tier.
+
+    Scale shape: one window shuffle keyed on user_id (lead), then an
+    aggregate on the same key — AQE coalesces these into a single
+    exchange reuse; nothing else moves."""
+    ev = fan_out_small_scan(load_table(spark, sf_dir, "events")).select(
+        "user_id", "value", "ts", "event_id"
+    )
+    seq_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        (
+            F.unix_micros(F.lead("ts").over(seq_w)) - F.unix_micros("ts")
+        ).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    return seq.groupBy("user_id").agg(
+        F.round(
+            F.sum(F.col("v") * F.col("dur_us").cast("decimal(20,0)")).cast(
+                "double"
+            )
+            / F.sum("dur_us").cast("double"),
+            6,
+        ).alias("tw_avg_value"),
+        (F.sum("dur_us").cast("double") / F.lit(1000000.0)).alias(
+            "observed_s"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer scoring
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "rfm_customer_segments",
+    """
+    WITH base AS (
+        SELECT o_custkey AS custkey,
+               max(o_orderdate) AS last_order,
+               count(*) AS frequency,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS monetary
+        FROM orders GROUP BY o_custkey),
+    scored AS (
+        SELECT custkey,
+               CAST(datediff('day', last_order,
+                             max(last_order) OVER ()) AS INTEGER)
+                   AS recency_days,
+               CAST(frequency AS BIGINT) AS frequency,
+               monetary,
+               ntile(5) OVER (ORDER BY last_order ASC, custkey) AS r_score,
+               ntile(5) OVER (ORDER BY frequency ASC, custkey) AS f_score,
+               ntile(5) OVER (ORDER BY monetary ASC, custkey) AS m_score
+        FROM base)
+    SELECT custkey, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+               || CAST(m_score AS VARCHAR) AS rfm
+    FROM scored
+    """,
+)
+def rfm_customer_segments(spark, sf_dir):
+    """RFM customer scoring: per customer, days since last order
+    (relative to the dataset's newest order), order count, exact
+    lifetime spend (decimal-summed), and 1-5 quintile scores on each
+    axis (5 = most recent / most frequent / biggest spender),
+    concatenated into the classic "555" segment code. Quintiles use a
+    total ordering (metric, custkey) so bucket boundaries are
+    deterministic under ties.
+
+    Scale shape: one aggregate keyed on custkey reduces orders to one
+    row per customer; the unpartitioned ntile windows run over that
+    reduced table, which is the standard single-sort trade for exact
+    global quantile scoring (at 100 TB swap ntile for percent_rank
+    bucketing over approx-quantile fences if a single-reducer sort of
+    |customers| rows is too hot — the per-customer reduction, the
+    expensive part, is unchanged)."""
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    all_w = Window.partitionBy()
+    scored = base.select(
+        "custkey",
+        F.datediff(F.max("last_order").over(all_w), F.col("last_order"))
+        .cast("int")
+        .alias("recency_days"),
+        "frequency",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("last_order"), "custkey"))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("frequency"), "custkey"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("monetary"), "custkey"))
+        .alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )
