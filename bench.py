@@ -77,6 +77,10 @@ HEADLINE = [
     "event_transition_matrix",
     "copurchase_part_pairs",
     "rfm_customer_segments",
+    "concurrent_sessions_peak",
+    "time_weighted_avg_value",
+    "profile_orders",
+    "incremental_monthly_rollup",
 ]
 
 

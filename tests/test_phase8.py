@@ -146,6 +146,63 @@ class TestCopurchasePairs:
         assert "TakeOrderedAndProject" in plan
 
 
+class TestProfileOrders:
+    def test_profile_semantics(self, spark, sf_dir):
+        rows = {r["col"]: r for r in _q("profile_orders")(spark, sf_dir).collect()}
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        n = orders.count()
+        assert set(rows) == {
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority",
+        }
+        assert all(r["n_rows"] == n for r in rows.values())
+        pk = rows["o_orderkey"]
+        assert pk["n_nulls"] == 0 and pk["n_distinct"] == n
+        assert pk["min_repr"] == str(
+            orders.agg(F.min("o_orderkey")).collect()[0][0]
+        )
+        # money columns render as 2-decimal strings, dates as yyyy-MM-dd
+        assert "." in rows["o_totalprice"]["min_repr"]
+        assert len(rows["o_orderdate"]["max_repr"]) == 10
+
+    def test_single_scan_plan(self, spark, sf_dir):
+        plan = (
+            _q("profile_orders")(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("FileScan parquet") == 1  # one pass over the table
+
+
+class TestIncrementalRollup:
+    def test_partials_merge_equals_direct(self, spark, sf_dir):
+        got = {
+            r["month"]: (r["n_items"], r["sum_qty"], r["avg_price"])
+            for r in _q("incremental_monthly_rollup")(spark, sf_dir).collect()
+        }
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        direct = {
+            r["month"]: (r["n_items"], r["sum_qty"], r["avg_price"])
+            for r in li.groupBy(
+                F.date_trunc("month", "l_shipdate").cast("date").alias("month")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_qty"),
+                F.round(
+                    F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("avg_price"),
+            )
+            .collect()
+        }
+        assert got == direct  # merging daily partials is lossless
+
+
 class TestConcurrentSessionsPeak:
     def test_known_overlap_fixture(self, spark, tmp_path):
         t0 = dt.datetime(2024, 1, 1)

@@ -279,6 +279,7 @@ def embedding_int8_quantize(spark, sf_dir):
 
 _RERANK_K1 = 20
 _RERANK_K = 5
+_RERANK_QMOD = 50  # every 50th vector is a serving query; corpus stays full
 
 
 @_register(
@@ -290,7 +291,9 @@ _RERANK_K = 5
                    ROUND({_COSINE_SQL}, 6) AS cosine,
                    ROW_NUMBER() OVER (PARTITION BY a.vec_id
                                       ORDER BY {_COSINE_SQL} DESC, b.vec_id) AS r1
-            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id <> b.vec_id
+            WHERE a.vec_id % {_RERANK_QMOD} = 0)
         WHERE r1 <= {_RERANK_K1}),
     scored AS (
         SELECT query_id, neighbor_id,
@@ -319,18 +322,23 @@ def rerank_two_stage(spark, sf_dir):
     keeps the whole pipeline under the hash gate (swap one column
     expression for a real scorer UDF in production).
 
-    Stage-1 here is the brute-force exact scorer so the end-to-end
-    result stays deterministic and hash-checkable (its BNLJ is the
-    documented quadratic baseline, same family as
-    ``embedding_cosine_topk``); at 100 TB stage-1 is the drop-in
-    ``lsh_topk``/``ivf_topk`` ANN tier — the stage-2 blend and top-k
-    are unchanged by that swap."""
+    Serving shape: the QUERY side is a workload (here every
+    {_RERANK_QMOD}th vector — queries are a stream, not the corpus),
+    the corpus side is full. Stage-1 is the brute-force exact scorer
+    so the end-to-end result stays deterministic and hash-checkable
+    (its BNLJ is the documented quadratic baseline, same family as
+    ``embedding_cosine_topk``) — cost is corpus-linear PER QUERY; at
+    100 TB stage-1 is the drop-in ``lsh_topk``/``ivf_topk`` ANN tier
+    and the stage-2 blend and top-k are unchanged by that swap."""
     from udacity_capstone_data_engineering_spark.operators.similarity import (
         brute_force_topk,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    stage1 = brute_force_topk(emb, "vec_id", "embedding", k=_RERANK_K1)
+    workload = emb.filter(F.col("vec_id") % _RERANK_QMOD == 0)
+    stage1 = brute_force_topk(
+        emb, "vec_id", "embedding", k=_RERANK_K1, queries=workload
+    )
     fake_model = (
         F.conv(
             F.substring(

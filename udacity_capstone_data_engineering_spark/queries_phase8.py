@@ -1,9 +1,11 @@
 """Phase-8 query tier (round 3): behavioral / product analytics over
 the event stream and the order history — the funnel, cohort, path,
 market-basket, and customer-scoring queries an analytics engine is
-asked for once the relational + corpus tiers exist. (The reference's
-own analytical query — notebook cell ~40, a dimensional join + group
-count — is the seed; these are the standard generalizations of it.)
+asked for once the relational + corpus tiers exist — plus the
+supporting QC/maintenance shapes (one-pass table profiling,
+incremental rollup merge). (The reference's own analytical query —
+notebook cell ~40, a dimensional join + group count — is the seed;
+these are the standard generalizations of it.)
 
 All JVM-side builtins, no UDFs; every query oracle-paired. Scale
 notes inline per query: every shape here is one-or-two shuffles keyed
@@ -280,6 +282,156 @@ def copurchase_part_pairs(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-pass table profiler (QC tier)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = (
+    # (column, kind) — kind picks the min/max string representation
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "money"),
+    ("o_orderdate", "date"),
+    ("o_orderpriority", "str"),
+)
+
+
+def _profile_repr_sql(col: str, kind: str, agg: str) -> str:
+    if kind == "int":
+        return f"CAST({agg}({col}) AS VARCHAR)"
+    if kind == "money":
+        return f"CAST(CAST({agg}({col}) AS DECIMAL(18,2)) AS VARCHAR)"
+    if kind == "date":
+        return f"strftime({agg}({col}), '%Y-%m-%d')"
+    return f"{agg}({col})"
+
+
+@_register(
+    "profile_orders",
+    "\nUNION ALL\n".join(
+        f"""
+        SELECT '{c}' AS col,
+               count(*) AS n_rows,
+               count(*) - count({c}) AS n_nulls,
+               count(DISTINCT {c}) AS n_distinct,
+               {_profile_repr_sql(c, kind, 'min')} AS min_repr,
+               {_profile_repr_sql(c, kind, 'max')} AS max_repr
+        FROM orders
+        """
+        for c, kind in _PROFILE_COLS
+    ),
+)
+def profile_orders(spark, sf_dir):
+    """One-pass column profiler (the Deequ/`summarize` capability):
+    per column, row count, null count, exact distinct count, and
+    canonical min/max representations — the profile the reference's
+    notebook derived with one `printSchema`/`describe`/`isNull` pass
+    PER COLUMN, here as ONE aggregate over ONE scan.
+
+    Scale shape: a single Aggregate computes every column's stats in
+    one pass (the multiple exact count-distincts compile to one Expand
+    — the documented trade for exactness; swap `count_distinct` for
+    `approx_count_distinct` at 100 TB if ±2% is acceptable and the
+    Expand multiplier hurts), then a `stack` pivots the 1-row wide
+    result to long form driver-side-free. Min/max become strings via
+    explicit per-type formats (decimal/strftime), never engine-default
+    casts, so representations are portable."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, kind in _PROFILE_COLS:
+        if kind == "int":
+            mn = F.min(c).cast("string")
+            mx = F.max(c).cast("string")
+        elif kind == "money":
+            mn = F.min(c).cast("decimal(18,2)").cast("string")
+            mx = F.max(c).cast("decimal(18,2)").cast("string")
+        elif kind == "date":
+            mn = F.date_format(F.min(c), "yyyy-MM-dd")
+            mx = F.date_format(F.max(c), "yyyy-MM-dd")
+        else:
+            mn = F.min(c)
+            mx = F.max(c)
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__nn"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            mn.alias(f"{c}__minr"),
+            mx.alias(f"{c}__maxr"),
+        ]
+    wide = o.agg(*aggs)
+    parts = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__minr, {c}__maxr"
+        for c, _ in _PROFILE_COLS
+    )
+    return wide.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {parts}) "
+            "as (col, n_nonnull, n_distinct, min_repr, max_repr)"
+        ),
+    ).select(
+        "col",
+        "n_rows",
+        (F.col("n_rows") - F.col("n_nonnull")).alias("n_nulls"),
+        "n_distinct",
+        "min_repr",
+        "max_repr",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup merge (algebraic partial-agg state reuse)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "incremental_monthly_rollup",
+    """
+    SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+           count(*) AS n_items,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                      AS DOUBLE) / count(*), 6) AS avg_price
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def incremental_monthly_rollup(spark, sf_dir):
+    """Incremental aggregation maintenance: monthly revenue stats
+    REBUILT FROM DAILY PARTIALS (count + exact decimal sums — the
+    algebraic aggregation state), not from the base table. The oracle
+    computes the monthly answer DIRECTLY from lineitem, so the hash
+    gate is the proof that merging partial states is lossless — the
+    invariant every materialized-view / streaming-state / partial-agg
+    design rests on (and why avg is carried as sum+count, never
+    averaged averages).
+
+    Scale shape: this is the nightly-incremental pattern — at 100 TB
+    the daily tier is computed once per day-partition (map-side
+    partial agg, one shuffle on day) and persisted; month-level
+    refresh re-aggregates |days| rows instead of rescanning the base
+    table. Here both levels run in one plan: two cheap aggregates,
+    the second over ~2.4k day rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.to_date("l_shipdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty_d"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+            "sum_price_d"
+        ),
+    )
+    return daily.groupBy(
+        F.date_trunc("month", "day").cast("date").alias("month")
+    ).agg(
+        F.sum("n_items").alias("n_items"),
+        F.sum("sum_qty_d").cast("double").alias("sum_qty"),
+        F.round(
+            F.sum("sum_price_d").cast("double") / F.sum("n_items"), 6
+        ).alias("avg_price"),
     )
 
 
