@@ -81,6 +81,9 @@ HEADLINE = [
     "time_weighted_avg_value",
     "profile_orders",
     "incremental_monthly_rollup",
+    "attribution_last_touch",
+    "zscore_events",
+    "top_session_paths",
 ]
 
 

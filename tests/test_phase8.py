@@ -308,6 +308,114 @@ class TestTimeWeightedAvg:
             assert abs(r["observed_s"] - spans[r["user_id"]]) < 1e-6
 
 
+class TestAttribution:
+    def test_last_touch_fixture(self, spark, tmp_path):
+        t0 = dt.datetime(2024, 1, 1)
+
+        def at(minute):
+            return t0 + dt.timedelta(minutes=minute)
+
+        rows = [
+            # user 1: view -> click -> purchase  => credited to click
+            (at(0), 1, "view"),
+            (at(1), 1, "click"),
+            (at(2), 1, "purchase"),
+            # user 2: purchase with no prior touch => (none)
+            (at(0), 2, "purchase"),
+            # user 2: then view -> purchase => view
+            (at(1), 2, "view"),
+            (at(2), 2, "purchase"),
+            # user 3: click -> purchase -> purchase => click twice
+            # (a purchase is not a touch, so the carry skips it)
+            (at(0), 3, "click"),
+            (at(1), 3, "purchase"),
+            (at(2), 3, "purchase"),
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        got = {
+            r["channel"]: r["n_purchases"]
+            for r in _q("attribution_last_touch")(spark, sf).collect()
+        }
+        assert got == {"click": 3, "(none)": 1, "view": 1}
+
+    def test_totals_cover_all_purchases(self, spark, sf_dir):
+        rows = _q("attribution_last_touch")(spark, sf_dir).collect()
+        n = sum(r["n_purchases"] for r in rows)
+        expect = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .filter(F.col("event_type") == "purchase")
+            .count()
+        )
+        assert n == expect
+
+
+class TestZscore:
+    def test_group_mean_zero_std_one(self, spark, sf_dir):
+        rows = _q("zscore_events")(spark, sf_dir).collect()
+        by_type: dict[str, list[float]] = {}
+        for r in rows:
+            by_type.setdefault(r["event_type"], []).append(r["zscore"])
+        import statistics
+
+        for t, zs in by_type.items():
+            assert abs(statistics.fmean(zs)) < 1e-3, t
+            assert abs(statistics.stdev(zs) - 1.0) < 1e-3, t
+
+    def test_partitioning_invariant(self, spark, sf_dir, tmp_path):
+        """Decimal-exact sums make z-scores identical under a hostile
+        re-partitioning of the input (float aggs would drift)."""
+        a = {
+            (r["event_id"], r["zscore"])
+            for r in _q("zscore_events")(spark, sf_dir).collect()
+        }
+        (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .repartition(13)
+            .write.mode("overwrite")
+            .parquet(f"{tmp_path}/events.parquet")
+        )
+        b = {
+            (r["event_id"], r["zscore"])
+            for r in _q("zscore_events")(spark, str(tmp_path)).collect()
+        }
+        assert a == b
+
+
+class TestSessionPaths:
+    def test_fixture_path_and_truncation(self, spark, tmp_path):
+        t0 = dt.datetime(2024, 1, 1)
+
+        def at(minute):
+            return t0 + dt.timedelta(minutes=minute)
+
+        rows = [(at(i), 1, t) for i, t in enumerate(
+            ["view", "click", "view", "click", "purchase", "error", "error"]
+        )]  # 7 events, one session -> path truncated to first 5
+        rows += [(at(0), 2, "view"), (at(1), 2, "click")]
+        sf = _write_events(spark, tmp_path, rows)
+        got = {r["path"]: r["n_sessions"] for r in _q("top_session_paths")(spark, sf).collect()}
+        assert got == {"view>click>view>click>purchase": 1, "view>click": 1}
+
+    def test_session_count_matches_sessionize(self, spark, sf_dir):
+        rows = _q("top_session_paths")(spark, sf_dir).collect()
+        total_paths = sum(r["n_sessions"] for r in rows)
+        sess = _q("events_sessionize")(spark, sf_dir).collect()
+        total_sessions = sum(r["n_sessions"] for r in sess)
+        assert total_paths <= total_sessions
+        if len(rows) < 20:  # no truncation -> exact cover
+            assert total_paths == total_sessions
+
+
+class TestDedupHistogram:
+    def test_histogram_accounts_for_every_doc(self, spark, sf_dir):
+        rows = _q("dedup_cluster_histogram")(spark, sf_dir).collect()
+        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        assert sum(r["n_docs"] for r in rows) == n_docs
+        for r in rows:
+            assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+            assert r["removable_docs"] == r["n_docs"] - r["n_clusters"]
+
+
 class TestRFM:
     def test_scores_are_quintiles_and_segment_concats(self, spark, sf_dir):
         rows = _q("rfm_customer_segments")(spark, sf_dir).collect()

@@ -644,7 +644,8 @@ def window_lag_delta(spark, sf_dir):
     SELECT l_suppkey, l_orderkey, l_linenumber,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
                PARTITION BY l_suppkey
-               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                        l_extendedprice
                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
                AS rolling_price
     FROM lineitem
@@ -652,11 +653,20 @@ def window_lag_delta(spark, sf_dir):
 )
 def window_rolling_sum(spark, sf_dir):
     """W1 rolling frame: 4-row moving revenue per supplier. The frame
-    sum runs over DECIMAL so it is exact and order-stable."""
+    sum runs over DECIMAL so it is exact and order-stable.
+
+    l_extendedprice is part of the ORDER BY deliberately: the driver
+    data contains duplicate (l_orderkey, l_linenumber) triples (175 at
+    sf0.1), so the business key alone is NOT a total order and a ROWS
+    frame would read engine-/partitioning-dependent contents on ties —
+    caught by the sf0.1 gate replay (r3; sf0.01 passed on tie-order
+    luck). With the price in the key, any remaining ties carry equal
+    prices, so every frame's price multiset — and hence the output —
+    is deterministic."""
     li = load_table(spark, sf_dir, "lineitem")
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice")
         .rowsBetween(-3, Window.currentRow)
     )
     return li.select(

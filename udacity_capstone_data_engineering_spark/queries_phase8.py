@@ -19,7 +19,10 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from udacity_capstone_data_engineering_spark.queries import _register
+from udacity_capstone_data_engineering_spark.queries import (
+    _DEDUP_CLUSTERS_SQL,
+    _register,
+)
 from udacity_capstone_data_engineering_spark.sources.catalog import (
     fan_out_small_scan,
     load_table,
@@ -605,6 +608,265 @@ def time_weighted_avg_value(spark, sf_dir):
         (F.sum("dur_us").cast("double") / F.lit(1000000.0)).alias(
             "observed_s"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch marketing attribution
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "attribution_last_touch",
+    """
+    WITH tagged AS (
+        SELECT user_id, event_type, ts,
+               CAST(value AS DECIMAL(18,2)) AS v,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS channel
+        FROM events)
+    SELECT coalesce(channel, '(none)') AS channel,
+           count(*) AS n_purchases,
+           CAST(sum(v) AS DOUBLE) AS attributed_value
+    FROM tagged
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def attribution_last_touch(spark, sf_dir):
+    """Last-touch attribution: every purchase is credited to the
+    user's most recent PRIOR non-purchase event type (the "channel"),
+    with purchase counts and decimal-exact value per channel —
+    purchases with no prior touch land in '(none)'. The (ts, event_id)
+    total order makes the carried-forward channel deterministic.
+
+    Scale shape: one window shuffle keyed on user_id (the
+    ignore-nulls last_value is a running carry, no self-join), then
+    a domain-sized aggregate with map-side combine. The raw stream
+    moves once."""
+    ev = fan_out_small_scan(load_table(spark, sf_dir, "events")).select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = ev.withColumn(
+        "channel",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        tagged.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("(none)")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("attributed_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic z-score normalization (feature scaling)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "zscore_events",
+    """
+    WITH stats AS (
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+               CAST(sum(CAST(value AS DECIMAL(18,2))
+                        * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sq
+        FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           round((e.value - st.s / st.n)
+                 / sqrt((st.sq - st.s * st.s / st.n) / (st.n - 1)), 6)
+               AS zscore
+    FROM events e JOIN stats st ON e.event_type = st.event_type
+    WHERE st.n > 1
+    """,
+)
+def zscore_events(spark, sf_dir):
+    """Per-group z-score normalization (the feature-scaling transform
+    every ML pipeline runs before training): (value − mean) / stddev
+    within each event type. Naive mean/stddev aggregates of doubles
+    are ORDER-DEPENDENT (float addition isn't associative, so results
+    drift with partitioning); here mean and variance derive from
+    exact decimal sum and sum-of-squares — the same algebraic-state
+    discipline as the rollup tier — and only the final few double ops
+    (identical IEEE sequence on any engine) touch floats.
+
+    Scale shape: one aggregate keyed on event_type (tiny domain), the
+    per-group stats broadcast back onto the stream — one scan + one
+    broadcast join; nothing re-sorts."""
+    ev = fan_out_small_scan(load_table(spark, sf_dir, "events")).select(
+        "event_id", "event_type", "value"
+    )
+    v = F.col("value").cast("decimal(18,2)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).cast("double").alias("s"),
+        F.sum(v * v).cast("double").alias("sq"),
+    )
+    joined = ev.join(F.broadcast(stats), "event_type").filter(F.col("n") > 1)
+    mean = F.col("s") / F.col("n")
+    var = (F.col("sq") - F.col("s") * F.col("s") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    return joined.select(
+        "event_id",
+        "event_type",
+        F.round((F.col("value") - mean) / F.sqrt(var), 6).alias("zscore"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top session paths (ordered event-type sequences)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "top_session_paths",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                        > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+    sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged),
+    paths AS (
+        SELECT user_id, session_id,
+               array_to_string(
+                   list(event_type ORDER BY ts, event_id)[1:5], '>')
+                   AS path
+        FROM sess GROUP BY user_id, session_id)
+    SELECT path, count(*) AS n_sessions
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+    """,
+)
+def top_session_paths(spark, sf_dir):
+    """Top user journeys: each 30-min-gap session reduced to its first
+    five event types joined as a path string, ranked by frequency with
+    a total (count, path) order for a deterministic top-20. The
+    grouped `collect_list` is made deterministic by collecting
+    (ts, event_id, type) structs and `array_sort`-ing them — grouped
+    collect order is partitioning-dependent otherwise.
+
+    Scale shape: sessionization is one window shuffle on user_id; the
+    path build is one aggregate keyed on (user, session) whose
+    collected state is bounded by session length (for heavy-tailed
+    sessions, pre-rank with a row_number ≤ 5 filter before collecting
+    so the aggregate state is capped at five structs); the final
+    count is domain-sized and TakeOrderedAndProject cuts the top-20
+    without a global sort."""
+    ev = fan_out_small_scan(load_table(spark, sf_dir, "events")).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    seq_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(
+            F.when(
+                F.col("ts") - F.lag("ts").over(seq_w)
+                > F.expr("INTERVAL 30 MINUTES"),
+                1,
+            ).otherwise(0)
+        ).over(seq_w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    paths = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.collect_list(
+                F.struct("ts", "event_id", "event_type")
+            ).alias("evs")
+        )
+        .select(
+            F.concat_ws(
+                ">",
+                F.slice(
+                    F.transform(
+                        F.array_sort("evs"), lambda s: s["event_type"]
+                    ),
+                    1,
+                    5,
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup cluster size histogram (reporting over connected components)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dedup_cluster_histogram",
+    f"""
+    WITH clusters AS ({_DEDUP_CLUSTERS_SQL}),
+    sizes AS (
+        SELECT component, count(*) AS cluster_size
+        FROM clusters GROUP BY component)
+    SELECT cluster_size,
+           count(*) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+           CAST(sum(cluster_size) - count(*) AS BIGINT) AS removable_docs
+    FROM sizes
+    GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_histogram(spark, sf_dir):
+    """Dedup impact report: the cluster-size histogram over near-dup
+    connected components — how many clusters of each size exist, how
+    many documents they hold, and how many a keep-one-representative
+    policy would remove. This is the number a corpus owner asks for
+    BEFORE running the dedup ('what does it delete?').
+
+    Scale shape: everything downstream of the component labels is
+    two domain-sized aggregates; the labels themselves come from the
+    LSH-edged connected components (per-round joins on the edge
+    list, never the corpus)."""
+    from udacity_capstone_data_engineering_spark.queries import (
+        dedup_clusters as _dc,
+    )
+
+    clusters = _dc(spark, sf_dir)
+    sizes = clusters.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").cast("bigint").alias("n_docs"),
+        (F.sum("cluster_size") - F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("removable_docs"),
     )
 
 
