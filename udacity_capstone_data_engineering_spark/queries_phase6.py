@@ -159,12 +159,15 @@ def duplicated_span_ratio(spark, sf_dir):
     concentrate. Docs shorter than 5 tokens have no grams and no row
     (cannot be span-duplicated)."""
     docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    # Hash the gram to int64 before the count/join shuffles — strings
+    # stay inside the scan stage, only 8B keys cross the wire; the
+    # string-keyed oracle doubles as the collision check.
     dg = docs.select(
         "doc_id", F.explode(word_shingles("text", 5)).alias("gram")
-    )
-    gf = dg.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    ).select("doc_id", F.xxhash64("gram").alias("h"))
+    gf = dg.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
     return (
-        dg.join(gf, "gram")
+        dg.join(gf, "h")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

@@ -67,15 +67,23 @@ def decontam_ngram_overlap(spark, sf_dir):
         "doc_id",
         F.array_distinct(word_shingles("text", k=5)).alias("shset"),
     )
+    # Grams are hashed to int64 BEFORE the distinct/join shuffles: the
+    # 30-60B gram strings are computed and dropped inside the scan
+    # stage, and only 8B keys cross the wire (~5-8x less shuffle). The
+    # oracle joins the raw strings, so the hash gate doubles as the
+    # collision check (2^-64-scale risk, same trade as the
+    # fingerprint tier).
     bench_grams = (
         sh.filter(F.col("doc_id") % 100 == 0)
         .select(F.explode("shset").alias("g"))
+        .select(F.xxhash64("g").alias("h"))
         .distinct()
     )
     corpus = sh.filter(F.col("doc_id") % 100 != 0)
     hits = (
         corpus.select("doc_id", F.explode("shset").alias("g"))
-        .join(bench_grams, "g")
+        .select("doc_id", F.xxhash64("g").alias("h"))
+        .join(bench_grams, "h")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
