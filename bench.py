@@ -84,6 +84,7 @@ HEADLINE = [
     "attribution_last_touch",
     "zscore_events",
     "top_session_paths",
+    "orders_snapshot_diff",
 ]
 
 

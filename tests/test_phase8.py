@@ -308,6 +308,33 @@ class TestTimeWeightedAvg:
             assert abs(r["observed_s"] - spans[r["user_id"]]) < 1e-6
 
 
+class TestSnapshotDiff:
+    def test_change_accounting(self, spark, sf_dir):
+        rows = _q("orders_snapshot_diff")(spark, sf_dir).collect()
+        by_type: dict[str, list] = {}
+        for r in rows:
+            by_type.setdefault(r["change_type"], []).append(r)
+        keys = [
+            r["o_orderkey"]
+            for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select("o_orderkey")
+            .collect()
+        ]
+        exp_inserts = {k for k in keys if k % 89 == 0 and k % 97 != 0}
+        exp_deletes = {k for k in keys if k % 97 == 0 and k % 89 != 0}
+        assert {r["o_orderkey"] for r in by_type["insert"]} == exp_inserts
+        assert {r["o_orderkey"] for r in by_type["delete"]} == exp_deletes
+        for r in by_type["update"]:
+            assert r["changed_cols"]  # every update names its columns
+            if "o_totalprice" in r["changed_cols"]:
+                assert abs(
+                    r["new_totalprice"] - r["old_totalprice"] - 100.0
+                ) < 1e-9
+        # deletes carry only old values, inserts only new
+        assert all(r["new_totalprice"] is None for r in by_type["delete"])
+        assert all(r["old_totalprice"] is None for r in by_type["insert"])
+
+
 class TestAttribution:
     def test_last_touch_fixture(self, spark, tmp_path):
         t0 = dt.datetime(2024, 1, 1)

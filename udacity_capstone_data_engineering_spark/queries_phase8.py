@@ -612,6 +612,109 @@ def time_weighted_avg_value(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Snapshot diff (CDC / change-data-feed between table versions)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "orders_snapshot_diff",
+    """
+    WITH v1 AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 89 <> 0),
+    v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 13 = 0 THEN 'F'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 17 = 0 THEN o_totalprice + 100.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 97 <> 0)
+    SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+           CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
+                WHEN v2.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           concat_ws(',',
+               CASE WHEN v1.o_orderkey IS NOT NULL
+                         AND v2.o_orderkey IS NOT NULL
+                         AND v1.o_orderstatus IS DISTINCT FROM v2.o_orderstatus
+                    THEN 'o_orderstatus' END,
+               CASE WHEN v1.o_orderkey IS NOT NULL
+                         AND v2.o_orderkey IS NOT NULL
+                         AND v1.o_totalprice IS DISTINCT FROM v2.o_totalprice
+                    THEN 'o_totalprice' END) AS changed_cols,
+           v1.o_totalprice AS old_totalprice,
+           v2.o_totalprice AS new_totalprice
+    FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+          OR v1.o_orderstatus IS DISTINCT FROM v2.o_orderstatus
+          OR v1.o_totalprice IS DISTINCT FROM v2.o_totalprice
+    """,
+)
+def orders_snapshot_diff(spark, sf_dir):
+    """Snapshot diff / change-data-feed: given two versions of a
+    keyed table, emit the row-level changes — inserts, deletes, and
+    updates with the list of changed columns — the Delta-style CDF a
+    downstream incremental consumer reads instead of re-scanning the
+    table. Versions are derived deterministically from orders here
+    (v2 drops %97 keys, adds back %89 keys v1 lacks, flips status on
+    %13 and bumps price on %17); the diff logic is version-agnostic.
+    Null-safe comparison (`IS DISTINCT FROM` / `eqNullSafe`) so NULL →
+    value and value → NULL both register as changes.
+
+    Scale shape: ONE full-outer equi-join on the table key — both
+    sides shuffle-partition on o_orderkey (or co-locate for free if
+    the snapshots are bucketed/partitioned by key at rest, as the
+    catalog's bucketed sink does), unchanged rows are filtered before
+    anything else consumes the feed. No window, no sort."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v1 = o.filter(F.col("o_orderkey") % 89 != 0).alias("v1")
+    v2 = (
+        o.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 13 == 0, F.lit("F"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            F.when(
+                F.col("o_orderkey") % 17 == 0, F.col("o_totalprice") + 100.0
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .alias("v2")
+    )
+    joined = v1.join(
+        v2, F.col("v1.o_orderkey") == F.col("v2.o_orderkey"), "full_outer"
+    )
+    in_v1 = F.col("v1.o_orderkey").isNotNull()
+    in_v2 = F.col("v2.o_orderkey").isNotNull()
+    status_chg = ~F.col("v1.o_orderstatus").eqNullSafe(
+        F.col("v2.o_orderstatus")
+    )
+    price_chg = ~F.col("v1.o_totalprice").eqNullSafe(F.col("v2.o_totalprice"))
+    return joined.filter(
+        ~in_v1 | ~in_v2 | status_chg | price_chg
+    ).select(
+        F.coalesce(F.col("v1.o_orderkey"), F.col("v2.o_orderkey")).alias(
+            "o_orderkey"
+        ),
+        F.when(~in_v1, "insert")
+        .when(~in_v2, "delete")
+        .otherwise("update")
+        .alias("change_type"),
+        F.concat_ws(
+            ",",
+            F.when(in_v1 & in_v2 & status_chg, "o_orderstatus"),
+            F.when(in_v1 & in_v2 & price_chg, "o_totalprice"),
+        ).alias("changed_cols"),
+        F.col("v1.o_totalprice").alias("old_totalprice"),
+        F.col("v2.o_totalprice").alias("new_totalprice"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Last-touch marketing attribution
 # ---------------------------------------------------------------------------
 
