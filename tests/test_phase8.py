@@ -443,6 +443,49 @@ class TestDedupHistogram:
             assert r["removable_docs"] == r["n_docs"] - r["n_clusters"]
 
 
+class TestGraphStats:
+    def test_triangle_on_known_graph(self, spark, tmp_path):
+        # orders as baskets: build K4 on parts 1-4 (4 triangles... no:
+        # K4 has C(4,3)=4 triangles) plus a pendant edge 4-5.
+        # Every pair must co-occur in >= 2 orders to become an edge.
+        baskets = [
+            [1, 2, 3, 4], [1, 2, 3, 4],  # K4 twice -> all 6 pairs support 2
+            [4, 5], [4, 5],              # pendant edge
+            [6, 7],                      # support-1 pair -> NOT an edge
+        ]
+        rows = []
+        for ok, parts in enumerate(baskets):
+            for ln, p in enumerate(parts, start=1):
+                rows.append((ok, p, 1, ln, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                             dt.datetime(1995, 1, 1)))
+        spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_partkey long, l_suppkey long, "
+            "l_linenumber int, l_quantity double, l_extendedprice double, "
+            "l_discount double, l_tax double, l_returnflag string, "
+            "l_linestatus string, l_shipdate timestamp",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{tmp_path}/lineitem.parquet"
+        )
+        got = {
+            r["metric"]: r["value"]
+            for r in _q("copurchase_graph_stats")(spark, str(tmp_path)).collect()
+        }
+        assert got == {
+            "n_nodes": 5,       # parts 1-5 (6,7 never reach support 2)
+            "n_edges": 7,       # K4's 6 + the pendant
+            "max_degree": 4,    # part 4
+            "n_triangles": 4,   # C(4,3) in K4; pendant adds none
+        }
+
+    def test_no_cartesian(self, spark, sf_dir):
+        plan = (
+            _q("copurchase_graph_stats")(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+
+
 class TestRFM:
     def test_scores_are_quintiles_and_segment_concats(self, spark, sf_dir):
         rows = _q("rfm_customer_segments")(spark, sf_dir).collect()

@@ -974,6 +974,107 @@ def dedup_cluster_histogram(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Relational graph analytics: co-purchase graph stats + triangles
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "copurchase_graph_stats",
+    """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS c
+        FROM items a
+        JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2),
+    edges AS (SELECT pa, pb FROM pairs WHERE c >= 2),
+    deg AS (
+        SELECT node, count(*) AS degree
+        FROM (SELECT pa AS node FROM edges
+              UNION ALL SELECT pb FROM edges)
+        GROUP BY node),
+    tri AS (
+        SELECT count(*) AS n
+        FROM edges e1
+        JOIN edges e2 ON e1.pb = e2.pa
+        JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb)
+    SELECT 'n_nodes' AS metric, CAST(count(*) AS BIGINT) AS value FROM deg
+    UNION ALL
+    SELECT 'n_edges', CAST(sum(degree) / 2 AS BIGINT) FROM deg
+    UNION ALL
+    SELECT 'max_degree', CAST(max(degree) AS BIGINT) FROM deg
+    UNION ALL
+    SELECT 'n_triangles', CAST(n AS BIGINT) FROM tri
+    """,
+)
+def copurchase_graph_stats(spark, sf_dir):
+    """Graph analytics expressed relationally: the co-purchase graph
+    (parts as nodes, support-≥2 co-purchases as edges) summarized as
+    node/edge counts, max degree, and TRIANGLE count — the classic
+    "can the engine do graphs without a graph engine" benchmark
+    (triangles drive clustering coefficients and community metrics).
+
+    Scale shape: the edge list is oriented by part id (pa < pb), so
+    the triangle join e1(a,b)⋈e2(b,c)⋈e3(a,c) enumerates each
+    triangle EXACTLY once via two equi-joins — no cartesian, no
+    post-hoc dedup; cost is Σ_edges deg(b) probes, the standard
+    relational triangle count (at real scale, orient by DEGREE
+    instead of id — every wedge then pivots on its lowest-degree
+    vertex, the Schank-Wagner bound). Node/edge/degree stats are one
+    aggregate over the degree table, stacked to long form."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("pa", "pb")
+    )
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    deg_stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum("degree") / 2).cast("bigint").alias("n_edges"),
+        F.max("degree").cast("bigint").alias("max_degree"),
+    ).select(
+        F.expr(
+            "stack(3, 'n_nodes', n_nodes, 'n_edges', n_edges, "
+            "'max_degree', max_degree) as (metric, value)"
+        )
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.pb") == F.col("e2.pa"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa"))
+            & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("value"))
+        .select(F.lit("n_triangles").alias("metric"), "value")
+    )
+    return deg_stats.unionAll(tri)
+
+
+# ---------------------------------------------------------------------------
 # RFM customer scoring
 # ---------------------------------------------------------------------------
 
