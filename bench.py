@@ -85,6 +85,7 @@ HEADLINE = [
     "zscore_events",
     "top_session_paths",
     "orders_snapshot_diff",
+    "copurchase_graph_stats",
 ]
 
 
