@@ -86,6 +86,9 @@ HEADLINE = [
     "top_session_paths",
     "orders_snapshot_diff",
     "copurchase_graph_stats",
+    "conversion_lag_percentiles",
+    "parts_abc_pareto",
+    "event_weekday_chisq",
 ]
 
 

@@ -443,6 +443,73 @@ class TestDedupHistogram:
             assert r["removable_docs"] == r["n_docs"] - r["n_clusters"]
 
 
+class TestConversionLag:
+    def test_percentiles_match_python_reference(self, spark, sf_dir):
+        rows = {r["pctl"]: r["lag_seconds"] for r in
+                _q("conversion_lag_percentiles")(spark, sf_dir).collect()}
+        assert list(sorted(rows)) == [0.25, 0.5, 0.75, 0.9]
+        vals = [rows[p] for p in sorted(rows)]
+        assert vals == sorted(vals)  # monotone
+        # python reference with the same (n-1)*p interpolation
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        firsts = ev.groupBy("user_id").agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("fv"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("fp"),
+        ).collect()
+        lags = sorted(
+            (r["fp"] - r["fv"]).total_seconds()
+            for r in firsts
+            if r["fv"] and r["fp"] and r["fp"] > r["fv"]
+        )
+        for p in (0.25, 0.5, 0.75, 0.9):
+            idx = (len(lags) - 1) * p
+            lo, hi = int(idx), min(int(idx) + 1, len(lags) - 1)
+            ref = lags[lo] + (idx - lo) * (lags[hi] - lags[lo])
+            assert abs(rows[p] - ref) < 1e-3, (p, rows[p], ref)
+
+
+class TestAbcPareto:
+    def test_classes_partition_and_shares_monotone(self, spark, sf_dir):
+        rows = sorted(
+            _q("parts_abc_pareto")(spark, sf_dir).collect(),
+            key=lambda r: r["cum_share"],
+        )
+        assert abs(rows[-1]["cum_share"] - 1.0) < 1e-9
+        seen = [r["abc_class"] for r in rows]
+        # classes appear in order A..B..C along the cumulative curve
+        assert seen == sorted(seen)
+        assert {"A", "B", "C"} >= set(seen) and "A" in seen and "C" in seen
+        revs = [r["revenue"] for r in rows]
+        assert revs == sorted(revs, reverse=True)  # ranked by revenue
+        # A-class revenue share is within (0, 0.8] by construction
+        a_share = max(r["cum_share"] for r in rows if r["abc_class"] == "A")
+        assert 0 < a_share <= 0.8
+
+
+class TestChisq:
+    def test_matches_python_reference(self, spark, sf_dir):
+        [r] = _q("event_weekday_chisq")(spark, sf_dir).collect()
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_type", F.weekday(F.col("ts").cast("timestamp")).alias("wd")
+        ).collect()
+        from collections import Counter
+
+        cells = Counter((x["event_type"], x["wd"]) for x in ev)
+        rowt = Counter()
+        colt = Counter()
+        for (t, w), c in cells.items():
+            rowt[t] += c
+            colt[w] += c
+        n = sum(cells.values())
+        chi2 = sum(
+            (c - rowt[t] * colt[w] / n) ** 2 / (rowt[t] * colt[w] / n)
+            for (t, w), c in cells.items()
+        )
+        assert abs(r["chi2"] - chi2) < 1e-4
+        assert r["dof"] == (len(rowt) - 1) * (len(colt) - 1)
+        assert r["n"] == n
+
+
 class TestGraphStats:
     def test_triangle_on_known_graph(self, spark, tmp_path):
         # orders as baskets: build K4 on parts 1-4 (4 triangles... no:

@@ -974,6 +974,206 @@ def dedup_cluster_histogram(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Conversion-lag percentiles (time-to-convert distribution)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "conversion_lag_percentiles",
+    """
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS fv,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+        FROM events GROUP BY user_id),
+    lags AS (
+        SELECT date_diff('microsecond', fv, fp) AS lag_us
+        FROM firsts
+        WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp > fv)
+    SELECT 0.25 AS pctl,
+           round(quantile_cont(lag_us, 0.25) / 1000000.0, 6) AS lag_seconds
+    FROM lags
+    UNION ALL
+    SELECT 0.5, round(quantile_cont(lag_us, 0.5) / 1000000.0, 6) FROM lags
+    UNION ALL
+    SELECT 0.75, round(quantile_cont(lag_us, 0.75) / 1000000.0, 6) FROM lags
+    UNION ALL
+    SELECT 0.9, round(quantile_cont(lag_us, 0.9) / 1000000.0, 6) FROM lags
+    """,
+)
+def conversion_lag_percentiles(spark, sf_dir):
+    """Time-to-convert distribution: p25/p50/p75/p90 of the lag from a
+    user's first view to their first purchase (users who purchased
+    after viewing only). Exact linearly-interpolated percentiles over
+    integer microseconds — Spark's `percentile` and DuckDB's
+    `quantile_cont` share the (n-1)·p interpolation rule bit-for-bit
+    (verified including float artifacts), so the gate hash-checks the
+    distribution itself.
+
+    Scale shape: one aggregate keyed on user_id reduces the stream to
+    |users| lag rows; the exact percentile is a single-aggregate pass
+    over that reduced set (swap for `approx_percentile` at 100 TB if
+    |converting users| itself is huge — same plan shape)."""
+    ev = fan_out_small_scan(load_table(spark, sf_dir, "events")).select(
+        "user_id", "event_type", "ts"
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("fv"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("fp"),
+    )
+    lags = firsts.filter(
+        F.col("fv").isNotNull() & F.col("fp").isNotNull()
+        & (F.col("fp") > F.col("fv"))
+    ).select((F.unix_micros("fp") - F.unix_micros("fv")).alias("lag_us"))
+    pcts = [0.25, 0.5, 0.75, 0.9]
+    arr = ", ".join(f"{p}D" for p in pcts)
+    qs = lags.agg(F.expr(f"percentile(lag_us, array({arr}))").alias("qs"))
+    return qs.select(F.posexplode("qs").alias("pos", "q")).select(
+        F.element_at(
+            F.array(*[F.lit(p) for p in pcts]), F.col("pos") + 1
+        ).alias("pctl"),
+        F.round(F.col("q") / 1000000.0, 6).alias("lag_seconds"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto classification (cumulative revenue share)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "parts_abc_pareto",
+    """
+    WITH rev AS (
+        SELECT l_partkey,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS r
+        FROM lineitem GROUP BY l_partkey),
+    ranked AS (
+        SELECT l_partkey,
+               CAST(r AS DOUBLE) AS revenue,
+               CAST(sum(r) OVER (ORDER BY r DESC, l_partkey
+                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                   AS cum_r,
+               CAST(sum(r) OVER () AS DOUBLE) AS tot
+        FROM rev)
+    SELECT l_partkey, revenue,
+           round(cum_r / tot, 6) AS cum_share,
+           CASE WHEN cum_r / tot <= 0.8 THEN 'A'
+                WHEN cum_r / tot <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def parts_abc_pareto(spark, sf_dir):
+    """ABC / Pareto analysis: parts ranked by revenue, classified by
+    cumulative revenue share (A ≤ 80%, B ≤ 95%, C the tail) — the
+    inventory-curation classic ("which 20% of parts make 80% of
+    revenue"). Both the running and the grand total are DECIMAL sums
+    (cast to double only for the share division), so the cumulative
+    curve is exact and order-independent — a double running sum would
+    drift with accumulation order and flip rows across the class
+    boundaries.
+
+    Scale shape: per-part reduction first (one keyed shuffle), then
+    the ranked cumulative window over |parts| rows — the one
+    intentional global sort, over the smallest relation (at 100 TB,
+    two-level it by revenue range like the sweep-line timeline)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("r")
+    )
+    cum_w = Window.orderBy(F.desc("r"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot_w = Window.partitionBy()
+    ranked = rev.select(
+        "l_partkey",
+        F.col("r").cast("double").alias("revenue"),
+        F.sum("r").over(cum_w).cast("double").alias("cum_r"),
+        F.sum("r").over(tot_w).cast("double").alias("tot"),
+    )
+    share = F.col("cum_r") / F.col("tot")
+    return ranked.select(
+        "l_partkey",
+        "revenue",
+        F.round(share, 6).alias("cum_share"),
+        F.when(share <= 0.8, "A")
+        .when(share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence report (event type x weekday)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "event_weekday_chisq",
+    """
+    WITH obs AS (
+        SELECT event_type, isodow(ts) - 1 AS wd, count(*) AS o
+        FROM events GROUP BY 1, 2),
+    m AS (
+        SELECT event_type, wd, o,
+               sum(o) OVER (PARTITION BY event_type) AS row_tot,
+               sum(o) OVER (PARTITION BY wd) AS col_tot,
+               sum(o) OVER () AS grand
+        FROM obs)
+    SELECT round(CAST(sum(CAST(
+               power(o - CAST(row_tot AS DOUBLE) * col_tot / grand, 2)
+               / (CAST(row_tot AS DOUBLE) * col_tot / grand)
+               AS DECIMAL(28,10))) AS DOUBLE), 6) AS chi2,
+           CAST((count(DISTINCT event_type) - 1)
+                * (count(DISTINCT wd) - 1) AS INTEGER) AS dof,
+           CAST(max(grand) AS BIGINT) AS n
+    FROM m
+    """,
+)
+def event_weekday_chisq(spark, sf_dir):
+    """Chi-square test of independence between event type and weekday
+    — the data-profiling question "does behavior vary by day?". Cell
+    terms (O−E)²/E are computed in double (identical IEEE sequence on
+    both engines, E from exact integer marginals), then summed as
+    DECIMALS so the 35-cell reduction is order-independent — a plain
+    double SUM over cells would be partitioning-dependent.
+
+    Scale shape: one aggregate to the (type × weekday) contingency
+    table (map-side combined), three window passes over the
+    domain-sized table for the marginals, one scalar reduce. The raw
+    stream is shuffled once."""
+    ev = fan_out_small_scan(load_table(spark, sf_dir, "events")).select(
+        "event_type", (F.weekday("ts")).alias("wd")
+    )
+    obs = ev.groupBy("event_type", "wd").agg(F.count(F.lit(1)).alias("o"))
+    m = obs.select(
+        "event_type",
+        "wd",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("wd")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("grand"),
+    )
+    e = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("grand")
+    term = F.pow(F.col("o") - e, 2) / e
+    return m.agg(
+        F.round(
+            F.sum(term.cast("decimal(28,10)")).cast("double"), 6
+        ).alias("chi2"),
+        (
+            (F.count_distinct("event_type") - 1)
+            * (F.count_distinct("wd") - 1)
+        )
+        .cast("int")
+        .alias("dof"),
+        F.max("grand").cast("bigint").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Relational graph analytics: co-purchase graph stats + triangles
 # ---------------------------------------------------------------------------
 
