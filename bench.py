@@ -89,6 +89,7 @@ HEADLINE = [
     "conversion_lag_percentiles",
     "parts_abc_pareto",
     "event_weekday_chisq",
+    "embedding_pq_topk",
 ]
 
 

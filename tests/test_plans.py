@@ -74,7 +74,8 @@ def test_no_python_udfs_in_relational_tier(spark, sf_dir):
         "multimodal_features",  # mapInPandas payload decode
         "embedding_ivf_topk",   # batch matmul cell assignment + scoring
         "embedding_lsh_topk",   # batch matmul bucketing + scoring
-        "ann_recall_report",    # composes the two ANN queries above
+        "embedding_pq_topk",    # batch encode + ADC candidate scan
+        "ann_recall_report",    # composes the three ANN queries above
     }
     for name, fn in QUERIES.items():
         if name in declared_arrow:

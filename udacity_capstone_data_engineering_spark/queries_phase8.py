@@ -974,6 +974,27 @@ def dedup_cluster_histogram(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# ANN third path: product quantization (PQ + ADC + exact rerank)
+# ---------------------------------------------------------------------------
+
+
+@_register("embedding_pq_topk", None)
+def embedding_pq_topk(spark, sf_dir):
+    """Approximate top-5 neighbors via product quantization: vectors
+    compressed to 8 one-byte codes (64× smaller than raw — the index
+    broadcasts where vectors cannot), ADC lookup-table scan for
+    candidates, exact cosine rerank of the top slice. Approximate ⇒
+    rows-only under the driver gate; recall is hash-gated through the
+    'pq' row of ``ann_recall_report`` and pinned ≥0.95 in tests.
+    See ``operators/pq.py`` for the auto-sized rerank cut (constant
+    corpus fraction — the knob-coupling law, third application)."""
+    from udacity_capstone_data_engineering_spark.operators.pq import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(emb, "vec_id", "embedding", dim=64, k=5)
+
+
+# ---------------------------------------------------------------------------
 # Conversion-lag percentiles (time-to-convert distribution)
 # ---------------------------------------------------------------------------
 
@@ -990,15 +1011,18 @@ def dedup_cluster_histogram(spark, sf_dir):
         SELECT date_diff('microsecond', fv, fp) AS lag_us
         FROM firsts
         WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp > fv)
-    SELECT 0.25 AS pctl,
+    SELECT CAST(0.25 AS DOUBLE) AS pctl,
            round(quantile_cont(lag_us, 0.25) / 1000000.0, 6) AS lag_seconds
     FROM lags
     UNION ALL
-    SELECT 0.5, round(quantile_cont(lag_us, 0.5) / 1000000.0, 6) FROM lags
+    SELECT CAST(0.5 AS DOUBLE),
+           round(quantile_cont(lag_us, 0.5) / 1000000.0, 6) FROM lags
     UNION ALL
-    SELECT 0.75, round(quantile_cont(lag_us, 0.75) / 1000000.0, 6) FROM lags
+    SELECT CAST(0.75 AS DOUBLE),
+           round(quantile_cont(lag_us, 0.75) / 1000000.0, 6) FROM lags
     UNION ALL
-    SELECT 0.9, round(quantile_cont(lag_us, 0.9) / 1000000.0, 6) FROM lags
+    SELECT CAST(0.9 AS DOUBLE),
+           round(quantile_cont(lag_us, 0.9) / 1000000.0, 6) FROM lags
     """,
 )
 def conversion_lag_percentiles(spark, sf_dir):
