@@ -106,6 +106,16 @@ PICK = {
         "ordered window over the collapsed timeline — the quadratic "
         "interval self-join never appears."
     ),
+    "parts_abc_pareto": (
+        "Pareto curve: per-part decimal reduction first, then the "
+        "ranked cumulative window over |parts| rows — exact decimal "
+        "running totals, classes cut on the exact curve."
+    ),
+    "orders_snapshot_diff": (
+        "Change-data-feed: ONE full-outer SortMergeJoin on the table "
+        "key, null-safe column comparisons, unchanged rows filtered "
+        "before anything downstream."
+    ),
 }
 
 HEADER = """# PLANS — physical plans of headline queries (sf0.01, AQE on)
