@@ -75,7 +75,8 @@ def test_no_python_udfs_in_relational_tier(spark, sf_dir):
         "embedding_ivf_topk",   # batch matmul cell assignment + scoring
         "embedding_lsh_topk",   # batch matmul bucketing + scoring
         "embedding_pq_topk",    # batch encode + ADC candidate scan
-        "ann_recall_report",    # composes the three ANN queries above
+        "embedding_ivfpq_topk", # cell-filtered ADC scan
+        "ann_recall_report",    # composes the ANN queries above
     }
     for name, fn in QUERIES.items():
         if name in declared_arrow:

@@ -144,6 +144,23 @@ def test_pq_recall_and_determinism_vs_brute_force(spark, sf_dir):
     assert recall >= 0.95, f"PQ recall below design target: {recall}"
 
 
+def test_ivfpq_recall_vs_brute_force(spark, sf_dir):
+    from udacity_capstone_data_engineering_spark.operators.pq import ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = brute_force_topk(emb, "vec_id", "embedding", k=5)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx = ivfpq_topk(
+        emb, "vec_id", "embedding", dim=64, k=5, n_centroids=16, nprobe=12
+    )
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # Recall is bound by the IVF cell filter: measured 0.958 (500) /
+    # 0.928 (2000) at 16 cells/nprobe 12 — plain IVF minus ~2 points
+    # of PQ cut. Pin >=0.9 at the pinned operating point.
+    assert recall >= 0.9, f"IVF-PQ recall below design target: {recall}"
+
+
 def test_schema_evolution_merged_read_and_union(spark, tmp_path):
     from udacity_capstone_data_engineering_spark.operators.setops import union_evolved
     from udacity_capstone_data_engineering_spark.sources.readers import (

@@ -89,7 +89,7 @@ def test_spec_source_requires_sf_dir(spark):
 
 def test_registry_oracle_coverage_invariant():
     """Every registered query must carry a DuckDB oracle, except the
-    four structurally-approximate operators (ANN LSH/IVF/PQ, HLL
+    five structurally-approximate operators (ANN LSH/IVF/PQ/IVF-PQ, HLL
     sketch), each of which has a hash-checked twin elsewhere
     (`ann_recall_report`, `exact_distinct_users`). A new no-oracle
     query is a gate hole and must be an explicit decision here."""
@@ -102,5 +102,6 @@ def test_registry_oracle_coverage_invariant():
         "embedding_lsh_topk",
         "embedding_ivf_topk",
         "embedding_pq_topk",
+        "embedding_ivfpq_topk",
     }
     assert set(qs) - set(os_) == allowed_rows_only

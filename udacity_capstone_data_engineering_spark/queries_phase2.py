@@ -1023,11 +1023,15 @@ def sink_roundtrip_partitioned(spark, sf_dir):
     SELECT 'pq' AS method,
            (SELECT COUNT(*) * 5 FROM embeddings) AS n_pairs,
            TRUE AS recall_ok
+    UNION ALL
+    SELECT 'ivfpq' AS method,
+           (SELECT COUNT(*) * 5 FROM embeddings) AS n_pairs,
+           TRUE AS recall_ok
     """,
 )
 def ann_recall_report(spark, sf_dir):
-    """Recall of all three approximate ANN paths (LSH, IVF, PQ) vs the
-    in-engine brute-force baseline, under the hash gate (VERDICT r1
+    """Recall of all four approximate ANN paths (LSH, IVF, PQ, IVF-PQ)
+    vs the in-engine brute-force baseline, under the hash gate (VERDICT r1
     next-round #8): emits (method, n_pairs, recall_ok) with
     recall_ok = recall@5 >= 0.8.
     Everything is deterministic (md5 hyperplanes, seeded centroids), so
@@ -1059,13 +1063,20 @@ def ann_recall_report(spark, sf_dir):
             (F.col("hits") / F.col("n_pairs") >= F.lit(0.8)).alias("recall_ok"),
         )
 
-    from udacity_capstone_data_engineering_spark.operators.pq import pq_topk
+    from udacity_capstone_data_engineering_spark.operators.pq import (
+        ivfpq_topk,
+        pq_topk,
+    )
 
     lsh = lsh_topk(emb, "vec_id", "embedding", dim=64, k=5)
     ivf = ivf_topk(emb, "vec_id", "embedding", k=5, n_centroids=16, nprobe=12)
     pq = pq_topk(emb, "vec_id", "embedding", dim=64, k=5)
+    ivfpq = ivfpq_topk(
+        emb, "vec_id", "embedding", dim=64, k=5, n_centroids=16, nprobe=12
+    )
     return (
         method_row("lsh", lsh)
         .unionAll(method_row("ivf", ivf))
         .unionAll(method_row("pq", pq))
+        .unionAll(method_row("ivfpq", ivfpq))
     )

@@ -994,6 +994,24 @@ def embedding_pq_topk(spark, sf_dir):
     return pq_topk(emb, "vec_id", "embedding", dim=64, k=5)
 
 
+@_register("embedding_ivfpq_topk", None)
+def embedding_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composition: PQ codes grouped into IVF cells so each
+    query ADC-scans only its probed cells' codes — sub-linear scan
+    over the 64×-compressed index, the billion-vector serving layout.
+    Pinned at the recall report's 16-cell/nprobe-12 operating point
+    (recall tracks plain IVF with ~2 points of PQ cut; auto knobs
+    trade recall for a 1/4-of-cells scan exactly like plain IVF).
+    Rows-only under the gate; recall hash-gated via the 'ivfpq' row
+    of ``ann_recall_report`` and pinned ≥0.9 in tests."""
+    from udacity_capstone_data_engineering_spark.operators.pq import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb, "vec_id", "embedding", dim=64, k=5, n_centroids=16, nprobe=12
+    )
+
+
 # ---------------------------------------------------------------------------
 # Conversion-lag percentiles (time-to-convert distribution)
 # ---------------------------------------------------------------------------
