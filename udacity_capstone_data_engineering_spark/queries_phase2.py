@@ -1048,8 +1048,13 @@ def ann_recall_report(spark, sf_dir):
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    exact = brute_force_topk(emb, "vec_id", "embedding", k=5).select(
-        "query_id", "neighbor_id"
+    # Persisted: the quadratic brute-force baseline feeds all four
+    # method rows (2×4 union branches would otherwise recompute it 8
+    # times); rows are (id, id) pairs — tiny.
+    exact = (
+        brute_force_topk(emb, "vec_id", "embedding", k=5)
+        .select("query_id", "neighbor_id")
+        .persist()
     )
 
     def method_row(name, approx):
