@@ -83,10 +83,14 @@ def fit_pq_codebooks(
             # nearest by L2: argmin |x-c|² == argmax x·c − ½|c|²
             d = xs @ centers.T - 0.5 * (centers * centers).sum(axis=1)
             lab = d.argmax(axis=1)
-            for c in range(k):
-                members = xs[lab == c]
-                if len(members):
-                    centers[c] = members.mean(axis=0)
+            # vectorized Lloyd update: scatter-add members per centroid
+            # (a per-centroid boolean-mask loop is O(k·n) per iter and
+            # dominated the fit at ksub=256)
+            sums = np.zeros_like(centers)
+            np.add.at(sums, lab, xs)
+            counts = np.bincount(lab, minlength=k).astype(np.float64)
+            nonempty = counts > 0
+            centers[nonempty] = sums[nonempty] / counts[nonempty, None]
         books[s] = centers
     return books
 
