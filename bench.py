@@ -89,6 +89,7 @@ HEADLINE = [
     "conversion_lag_percentiles",
     "parts_abc_pareto",
     "event_weekday_chisq",
+    "customer_spend_gini",
     "embedding_pq_topk",
 ]
 

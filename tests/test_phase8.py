@@ -486,6 +486,39 @@ class TestAbcPareto:
         assert 0 < a_share <= 0.8
 
 
+class TestGini:
+    def test_matches_python_reference_and_bounds(self, spark, sf_dir):
+        [r] = _q("customer_spend_gini")(spark, sf_dir).collect()
+        assert 0.0 <= r["gini"] <= 1.0
+        spend = sorted(
+            x["s"]
+            for x in spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .groupBy("o_custkey")
+            .agg(F.sum("o_totalprice").alias("s"))
+            .collect()
+        )
+        n, tot = len(spend), sum(spend)
+        ref = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(spend)) / (
+            n * tot
+        )
+        assert abs(r["gini"] - ref) < 1e-4
+        assert r["n_customers"] == n
+
+    def test_equal_spend_gives_zero(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(i, i, "O", 100.0, dt.datetime(1995, 1, 1), "1-URGENT")
+             for i in range(10)],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, "
+            "o_orderpriority string",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(
+            f"{tmp_path}/orders.parquet"
+        )
+        [r] = _q("customer_spend_gini")(spark, str(tmp_path)).collect()
+        assert r["gini"] == 0.0 and r["n_customers"] == 10
+
+
 class TestChisq:
     def test_matches_python_reference(self, spark, sf_dir):
         [r] = _q("event_weekday_chisq")(spark, sf_dir).collect()

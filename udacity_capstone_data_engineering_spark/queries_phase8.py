@@ -1149,6 +1149,64 @@ def parts_abc_pareto(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Gini coefficient (spend concentration)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "customer_spend_gini",
+    """
+    WITH spend AS (
+        SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+        FROM orders GROUP BY o_custkey),
+    ranked AS (
+        SELECT s,
+               row_number() OVER (ORDER BY s, o_custkey) AS i,
+               count(*) OVER () AS n,
+               sum(s) OVER () AS tot
+        FROM spend)
+    SELECT round(CAST(sum((2 * i - n - 1) * s) AS DOUBLE)
+                 / (CAST(max(n) AS DOUBLE) * CAST(max(tot) AS DOUBLE)), 6)
+               AS gini,
+           CAST(max(n) AS BIGINT) AS n_customers
+    FROM ranked
+    """,
+)
+def customer_spend_gini(spark, sf_dir):
+    """Gini coefficient of customer lifetime spend — the single-number
+    concentration companion to the Pareto curve (0 = everyone spends
+    equally, →1 = one customer is the business). Computed with the
+    rank formula G = Σ(2i−n−1)·x₍ᵢ₎ / (n·Σx) over decimal-exact
+    spend: the weighted sum stays in exact decimal (rank weights are
+    integers), so the result is order-independent; rank ties share
+    equal spend values, which makes the formula tie-insensitive.
+
+    Scale shape: per-customer reduction first, then one ranked window
+    over |customers| rows and a scalar reduce — the same
+    smallest-relation global sort as the Pareto query."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s")
+    )
+    ranked = spend.select(
+        "s",
+        F.row_number().over(Window.orderBy("s", "o_custkey")).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("s").over(Window.partitionBy()).alias("tot"),
+    )
+    return ranked.agg(
+        F.round(
+            F.sum(
+                (2 * F.col("i") - F.col("n") - 1) * F.col("s")
+            ).cast("double")
+            / (F.max("n").cast("double") * F.max("tot").cast("double")),
+            6,
+        ).alias("gini"),
+        F.max("n").cast("bigint").alias("n_customers"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Chi-square independence report (event type x weekday)
 # ---------------------------------------------------------------------------
 
