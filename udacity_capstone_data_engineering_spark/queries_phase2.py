@@ -1027,13 +1027,23 @@ def sink_roundtrip_partitioned(spark, sf_dir):
     SELECT 'ivfpq' AS method,
            (SELECT COUNT(*) * 5 FROM embeddings) AS n_pairs,
            TRUE AS recall_ok
+    UNION ALL
+    SELECT 'ivf_auto' AS method,
+           (SELECT COUNT(*) * 5 FROM embeddings) AS n_pairs,
+           TRUE AS recall_ok
+    UNION ALL
+    SELECT 'ivfpq_auto' AS method,
+           (SELECT COUNT(*) * 5 FROM embeddings) AS n_pairs,
+           TRUE AS recall_ok
     """,
 )
 def ann_recall_report(spark, sf_dir):
     """Recall of all four approximate ANN paths (LSH, IVF, PQ, IVF-PQ)
     vs the in-engine brute-force baseline, under the hash gate (VERDICT r1
     next-round #8): emits (method, n_pairs, recall_ok) with
-    recall_ok = recall@5 >= 0.8.
+    recall_ok = recall@5 >= 0.8 for the pinned-knob rows, plus two
+    FULLY-AUTO rows (ivf_auto, ivfpq_auto) gated at the >= 0.9 the
+    recall-targeted auto-sizing promises (VERDICT r3 #3).
     Everything is deterministic (md5 hyperplanes, seeded centroids), so
     the oracle's TRUE rows are a real check: if either path's recall
     ever drops below 0.8, the row flips false and the gate goes red.
@@ -1048,16 +1058,20 @@ def ann_recall_report(spark, sf_dir):
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # Persisted: the quadratic brute-force baseline feeds all four
-    # method rows (2×4 union branches would otherwise recompute it 8
-    # times); rows are (id, id) pairs — tiny.
+    # localCheckpoint (not persist): the quadratic brute-force
+    # baseline feeds all the method rows (the union branches would
+    # otherwise recompute it per row), but a plain persist stays
+    # pinned in executor storage for the rest of the session (ADVICE
+    # r3); the eager localCheckpoint materializes once and is freed
+    # with the query plan by the ContextCleaner. Rows are (id, id)
+    # pairs — tiny.
     exact = (
         brute_force_topk(emb, "vec_id", "embedding", k=5)
         .select("query_id", "neighbor_id")
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
-    def method_row(name, approx):
+    def method_row(name, approx, bound=0.8):
         hits = exact.join(
             approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
         ).agg(F.count(F.lit(1)).alias("hits"))
@@ -1065,7 +1079,7 @@ def ann_recall_report(spark, sf_dir):
         return hits.crossJoin(tot).select(
             F.lit(name).alias("method"),
             "n_pairs",
-            (F.col("hits") / F.col("n_pairs") >= F.lit(0.8)).alias("recall_ok"),
+            (F.col("hits") / F.col("n_pairs") >= F.lit(bound)).alias("recall_ok"),
         )
 
     from udacity_capstone_data_engineering_spark.operators.pq import (
@@ -1079,9 +1093,17 @@ def ann_recall_report(spark, sf_dir):
     ivfpq = ivfpq_topk(
         emb, "vec_id", "embedding", dim=64, k=5, n_centroids=16, nprobe=12
     )
+    # AUTO-KNOB rows (VERDICT r3 #3): what a naive caller gets with
+    # every knob defaulted — gated at the 0.9 the recall-targeted
+    # auto-sizing promises (the old cells/4 default measured ~0.66
+    # and would flip these rows false).
+    ivf_auto = ivf_topk(emb, "vec_id", "embedding", k=5)
+    ivfpq_auto = ivfpq_topk(emb, "vec_id", "embedding", dim=64, k=5)
     return (
         method_row("lsh", lsh)
         .unionAll(method_row("ivf", ivf))
         .unionAll(method_row("pq", pq))
         .unionAll(method_row("ivfpq", ivfpq))
+        .unionAll(method_row("ivf_auto", ivf_auto, bound=0.9))
+        .unionAll(method_row("ivfpq_auto", ivfpq_auto, bound=0.9))
     )
