@@ -341,12 +341,24 @@ def profile_orders(spark, sf_dir):
 
     Scale shape: a single Aggregate computes every column's stats in
     one pass (the multiple exact count-distincts compile to one Expand
-    — the documented trade for exactness; swap `count_distinct` for
-    `approx_count_distinct` at 100 TB if ±2% is acceptable and the
-    Expand multiplier hurts), then a `stack` pivots the 1-row wide
-    result to long form driver-side-free. Min/max become strings via
-    explicit per-type formats (decimal/strftime), never engine-default
-    casts, so representations are portable."""
+    — the documented trade for exactness), then a `stack` pivots the
+    1-row wide result to long form driver-side-free. Min/max become
+    strings via explicit per-type formats (decimal/strftime), never
+    engine-default casts, so representations are portable. For 100 TB
+    call :func:`profile_orders_impl` with ``distinct_mode="approx"``
+    (VERDICT r3 #6): `approx_count_distinct` HLL sketches drop the
+    Expand multiplier entirely — one unexpanded pass — at a
+    documented ±2% (tolerance-tested; rsd pinned 0.01), while this
+    registered exact variant stays under the hash gate."""
+    return profile_orders_impl(spark, sf_dir, distinct_mode="exact")
+
+
+def profile_orders_impl(spark, sf_dir, distinct_mode: str = "exact"):
+    """The profiler body; ``distinct_mode`` picks exact
+    ``count_distinct`` (Expand-multiplied, hash-gated) or
+    ``approx_count_distinct`` (HLL, rsd=0.01, no Expand)."""
+    if distinct_mode not in ("exact", "approx"):
+        raise ValueError(f"unknown distinct_mode: {distinct_mode}")
     o = load_table(spark, sf_dir, "orders")
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c, kind in _PROFILE_COLS:
@@ -362,9 +374,14 @@ def profile_orders(spark, sf_dir):
         else:
             mn = F.min(c)
             mx = F.max(c)
+        nd = (
+            F.count_distinct(F.col(c))
+            if distinct_mode == "exact"
+            else F.approx_count_distinct(F.col(c), rsd=0.01)
+        )
         aggs += [
             F.count(F.col(c)).alias(f"{c}__nn"),
-            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            nd.alias(f"{c}__nd"),
             mn.alias(f"{c}__minr"),
             mx.alias(f"{c}__maxr"),
         ]
@@ -1338,14 +1355,19 @@ def copurchase_graph_stats(spark, sf_dir):
     "can the engine do graphs without a graph engine" benchmark
     (triangles drive clustering coefficients and community metrics).
 
-    Scale shape: the edge list is oriented by part id (pa < pb), so
-    the triangle join e1(a,b)⋈e2(b,c)⋈e3(a,c) enumerates each
-    triangle EXACTLY once via two equi-joins — no cartesian, no
-    post-hoc dedup; cost is Σ_edges deg(b) probes, the standard
-    relational triangle count (at real scale, orient by DEGREE
-    instead of id — every wedge then pivots on its lowest-degree
-    vertex, the Schank-Wagner bound). Node/edge/degree stats are one
-    aggregate over the degree table, stacked to long form."""
+    Scale shape: each undirected edge is oriented from its LOWER to
+    its higher (degree, id) endpoint (VERDICT r3 #5 — the
+    Schank-Wagner orientation), so the triangle join
+    e1(a→b)⋈e2(b→c)⋈e3(a→c) enumerates each triangle EXACTLY once
+    via two equi-joins — no cartesian, no post-hoc dedup — and every
+    wedge pivots on out-edges of comparatively LOW-degree vertices:
+    out-degrees are bounded by O(√edges), so a skewed hub never
+    enumerates its quadratic wedge set (the id orientation did
+    whenever the hub drew a low id — the fixture test measures the
+    wedge-count drop). Any total vertex order yields a DAG with one
+    directed copy per triangle, so the count — and the oracle hash —
+    is unchanged. Node/edge/degree stats are one aggregate over the
+    degree table, stacked to long form."""
     items = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -1382,18 +1404,40 @@ def copurchase_graph_stats(spark, sf_dir):
             "'max_degree', max_degree) as (metric, value)"
         )
     )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.pb") == F.col("e2.pa"))
-        .join(
-            e3,
-            (F.col("e3.pa") == F.col("e1.pa"))
-            & (F.col("e3.pb") == F.col("e2.pb")),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("value"))
-        .select(F.lit("n_triangles").alias("metric"), "value")
+    tri = _count_triangles_degree_oriented(edges, deg).select(
+        F.lit("n_triangles").alias("metric"), "value"
     )
     return deg_stats.unionAll(tri)
+
+
+def _count_triangles_degree_oriented(edges, deg):
+    """Triangle count over canonical undirected edges (pa < pb) with
+    the Schank-Wagner (degree, id) orientation: direct every edge
+    from its lower to its higher (degree, id) endpoint — a DAG from a
+    total vertex order, one directed copy per triangle — then close
+    wedges with two equi-joins. Out-degree under this orientation is
+    O(√|edges|), so wedge enumeration never goes quadratic on a
+    skewed hub. ``deg`` is the (node, degree) table."""
+    da = deg.select(F.col("node").alias("pa"), F.col("degree").alias("__da"))
+    db = deg.select(F.col("node").alias("pb"), F.col("degree").alias("__db"))
+    e = edges.join(da, "pa").join(db, "pb")
+    lower_first = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("pa") < F.col("pb"))
+    )
+    directed = e.select(
+        F.when(lower_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+        F.when(lower_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+    )
+    e1, e2, e3 = directed.alias("e1"), directed.alias("e2"), directed.alias("e3")
+    return (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("value"))
+    )
 
 
 # ---------------------------------------------------------------------------
