@@ -102,14 +102,24 @@ PICK = {
     ),
     "concurrent_sessions_peak": (
         "Sweep line: sessionize (one user_id window shuffle), collapse "
-        "±1 deltas per instant with a combining aggregate, then one "
-        "ordered window over the collapsed timeline — the quadratic "
-        "interval self-join never appears."
+        "±1 deltas per instant with a combining aggregate, then the "
+        "DISTRIBUTED running sum (r4): range buckets on t, per-bucket "
+        "windows, broadcast offsets — no SinglePartition over the "
+        "timeline; the quadratic interval self-join never appears."
     ),
     "parts_abc_pareto": (
-        "Pareto curve: per-part decimal reduction first, then the "
-        "ranked cumulative window over |parts| rows — exact decimal "
-        "running totals, classes cut on the exact curve."
+        "Pareto curve: per-part decimal reduction, then the cumulative "
+        "curve via the two-level prefix sum (r4): bucket-partitioned "
+        "windows + broadcast per-bucket offsets, exact decimal running "
+        "totals, classes cut on the exact curve — the only "
+        "SinglePartition exchanges collapse the bucket-sized offsets "
+        "relation."
+    ),
+    "customer_spend_gini": (
+        "Gini rank formula over the distributed global row_number "
+        "(r4): quantile range buckets, per-bucket local ranks, "
+        "broadcast count offsets; n and the spend total ride the same "
+        "per-bucket aggregate; scalar reduce at the end."
     ),
     "orders_snapshot_diff": (
         "Change-data-feed: ONE full-outer SortMergeJoin on the table "

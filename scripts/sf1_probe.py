@@ -1,4 +1,5 @@
-"""sf1 scale probe for the approximate tiers (VERDICT r2 #2).
+"""sf1 scale probe for the approximate AND relational tiers
+(VERDICT r2 #2, extended for r3 #4).
 
 Both r2 recall bugs (LSH fixed-planes, IVF fixed-nprobe) were invisible
 at sf0.01 and real at sf0.1 — this probe checks the NEXT decade. The
@@ -12,15 +13,26 @@ sf0.1 tables (never modifying /root/testdata):
   - documents: 50,000 word-salad docs over the sf0.1 vocabulary with
     matched length distribution, ~5% near-dup pairs (base doc with 10%
     words mutated) and ~0.2% exact duplicates, seeded.
+  - relational tables (r3 #4): 10 key-offset copies of each sf0.1
+    table (orderkeys/custkeys/partkeys/suppkeys/user ids shifted per
+    copy, copy 0 = the original keys), so referential integrity, join
+    selectivities, per-key group sizes and value distributions are
+    all preserved while every fact relation — and the customer/part/
+    user key spaces — grow exactly 10×. region/nation stay fixed
+    (they are fixed-cardinality dims at every scale).
 
-Then measures, at sf0.1 and sf1:
-  - LSH and IVF recall@5 against an exact numpy ground truth (chunked
-    20k×20k matmul — the driver-side oracle for the probe only), plus
-    wall time.
-  - wall time of the document-pipeline headliners (near-dup, simhash,
-    winnowing, jaccard, chunking) for the 10× scaling exponent.
+Then measures:
+  - LSH / IVF / IVF-PQ recall@5 (auto knobs) against an exact numpy
+    ground truth (chunked 20k×20k matmul — the driver-side oracle for
+    the probe only), plus wall time, at sf0.1 and sf1.
+  - wall time of the document-pipeline headliners for the 10× scaling
+    exponent.
+  - wall time of the most expensive NON-ANN bench queries, timed
+    INTERLEAVED A/B (sf0.1 run immediately followed by the sf1 run of
+    the same query, same process — SCALING.md's contention protocol),
+    with the per-query 10× scaling exponent log10(t_sf1/t_sf0.1).
 
-Usage: python scripts/sf1_probe.py [--regen]
+Usage: python scripts/sf1_probe.py [--regen] [--relational-only]
 """
 
 from __future__ import annotations
@@ -132,6 +144,69 @@ def generate(seed: int = 20260814) -> None:
     print(f"generated {n_vec} vectors, {n_doc} docs -> {SF1}", flush=True)
 
 
+# (table, key columns to offset per copy) — the offset base for each
+# key column is max(key)+1 of ITS OWN key space, so copy c's keys are
+# disjoint from copy c' and copy 0 keeps the original values.
+_REL_OFFSETS = {
+    "customer": {"c_custkey": "customer.c_custkey"},
+    "supplier": {"s_suppkey": "supplier.s_suppkey"},
+    "part": {"p_partkey": "part.p_partkey"},
+    "orders": {
+        "o_orderkey": "orders.o_orderkey",
+        "o_custkey": "customer.c_custkey",
+    },
+    "lineitem": {
+        "l_orderkey": "orders.o_orderkey",
+        "l_partkey": "part.p_partkey",
+        "l_suppkey": "supplier.s_suppkey",
+    },
+    "events": {"event_id": "events.event_id", "user_id": "events.user_id"},
+}
+
+
+def generate_relational(copies: int = 10) -> None:
+    """10× key-offset replication of the sf0.1 relational tables into
+    SF1 (see module docstring). One duckdb COPY per table; region and
+    nation are carried over unchanged."""
+    import shutil
+
+    import duckdb
+
+    os.makedirs(SF1, exist_ok=True)
+    con = duckdb.connect()
+    bases: dict[str, int] = {}
+    for spec in {s for cols in _REL_OFFSETS.values() for s in cols.values()}:
+        table, key = spec.split(".")
+        bases[spec] = (
+            con.sql(
+                f"SELECT max({key}) + 1 FROM read_parquet('{SRC}/{table}.parquet')"
+            ).fetchone()[0]
+        )
+    for table, offsets in _REL_OFFSETS.items():
+        cols = [
+            c[0]
+            for c in con.sql(
+                f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{table}.parquet')"
+            ).fetchall()
+        ]
+        sel = ", ".join(
+            f"{c} + c.range * {bases[offsets[c]]} AS {c}" if c in offsets else c
+            for c in cols
+        )
+        con.sql(
+            f"COPY (SELECT {sel} "
+            f"FROM read_parquet('{SRC}/{table}.parquet'), "
+            f"range({copies}) c ORDER BY c.range) "
+            f"TO '{SF1}/{table}.parquet' (FORMAT PARQUET)"
+        )
+        n = con.sql(
+            f"SELECT count(*) FROM read_parquet('{SF1}/{table}.parquet')"
+        ).fetchone()[0]
+        print(f"generated {table}: {n} rows", flush=True)
+    for table in ("region", "nation"):
+        shutil.copyfile(f"{SRC}/{table}.parquet", f"{SF1}/{table}.parquet")
+
+
 def exact_topk_numpy(path: str, k: int = 5) -> set[tuple[int, int]]:
     """Exact cosine top-k ground truth, chunked numpy matmul."""
     import duckdb
@@ -159,6 +234,7 @@ def exact_topk_numpy(path: str, k: int = 5) -> set[tuple[int, int]]:
 
 def probe(sf_dir: str, spark, out: dict) -> None:
     from udacity_capstone_data_engineering_spark.operators.ivf import ivf_topk
+    from udacity_capstone_data_engineering_spark.operators.pq import ivfpq_topk
     from udacity_capstone_data_engineering_spark.operators.similarity import (
         lsh_topk,
     )
@@ -171,6 +247,7 @@ def probe(sf_dir: str, spark, out: dict) -> None:
     for name, fn in {
         "lsh": lambda: lsh_topk(emb, "vec_id", "embedding", dim=64, k=5),
         "ivf": lambda: ivf_topk(emb, "vec_id", "embedding", k=5),
+        "ivfpq": lambda: ivfpq_topk(emb, "vec_id", "embedding", dim=64, k=5),
     }.items():
         t0 = time.monotonic()
         got = {(r.query_id, r.neighbor_id) for r in fn().collect()}
@@ -197,15 +274,66 @@ def probe(sf_dir: str, spark, out: dict) -> None:
         print(json.dumps({tag: qname, "sec": round(dt, 2)}), flush=True)
 
 
+# The most expensive non-ANN bench queries at sf0.1 (BENCH_r03), plus
+# the four queries rewritten onto the distributed ranking helper —
+# their 10× exponents prove the helper's scale shape with numbers.
+REL_QUERIES = [
+    "decontam_ngram_overlap",
+    "containment_pairs",
+    "profile_orders",
+    "copurchase_graph_stats",
+    "bucketed_join_coloc",
+    "copurchase_part_pairs",
+    "tpch_q21_waiting_suppliers",
+    "concurrent_sessions_peak",
+    "cohort_retention_weekly",
+    "corpus_prep_pipeline",
+    "rfm_customer_segments",
+    "customer_spend_gini",
+    "parts_abc_pareto",
+]
+
+
+def probe_relational(spark, out: dict) -> None:
+    """Interleaved A/B walls: per query, the sf0.1 run is immediately
+    followed by the sf1 run in the same process, so host-level drift
+    hits both sides of each ratio equally (SCALING.md protocol)."""
+    import math
+
+    from udacity_capstone_data_engineering_spark.queries import queries
+
+    qs = queries()
+    for qname in REL_QUERIES:
+        walls = {}
+        for sf_dir, tag in ((SRC, "sf0.1"), (SF1, "sf1")):
+            t0 = time.monotonic()
+            qs[qname](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            walls[tag] = round(time.monotonic() - t0, 2)
+        exp = round(math.log10(max(walls["sf1"], 1e-3) / max(walls["sf0.1"], 1e-3)), 2)
+        out[f"rel:{qname}"] = {**walls, "exponent": exp}
+        print(json.dumps({qname: walls, "exponent": exp}), flush=True)
+
+
 def main() -> None:
+    rel_only = "--relational-only" in sys.argv
     if "--regen" in sys.argv or not os.path.exists(f"{SF1}/documents.parquet"):
         generate()
+    if "--regen" in sys.argv or not os.path.exists(f"{SF1}/lineitem.parquet"):
+        generate_relational()
     from udacity_capstone_data_engineering_spark import get_spark
 
     spark = get_spark(shuffle_partitions=32)
     out: dict = {}
-    for sf_dir in [SRC, SF1]:
-        probe(sf_dir, spark, out)
+    try:
+        out["load1"] = round(os.getloadavg()[0], 1)
+    except OSError:
+        pass
+    if not rel_only:
+        for sf_dir in [SRC, SF1]:
+            probe(sf_dir, spark, out)
+    probe_relational(spark, out)
     print(json.dumps(out))
     spark.stop()
 
