@@ -114,6 +114,52 @@ def test_bucket_count_independence(spark):
     assert a == b
 
 
+def test_null_keys_match_single_window_both_directions(spark):
+    # ADVICE r4: nulls must land nulls-FIRST under ASC and nulls-LAST
+    # under DESC, matching Spark's default window null ordering.
+    df = _demo_df(spark, n=97).select(
+        "id",
+        F.when(F.col("id") % 11 == 0, F.lit(None)).otherwise(F.col("k")).alias("k"),
+        "v",
+    )
+    for desc in (False, True):
+        order = F.desc("k") if desc else F.asc("k")
+        got = ranked_prefix(df, key="k", tiebreaks=["id"], descending=desc, rn_col="rn")
+        want = df.withColumn(
+            "rn", F.row_number().over(Window.orderBy(order, "id")).cast("long")
+        )
+        assert _rows(got, ["id", "rn"]) == _rows(want, ["id", "rn"]), desc
+
+
+def test_plan_construction_is_lazy(spark):
+    # ADVICE r4: building the ranked DataFrame must run no Spark jobs
+    # (fences are an in-plan aggregate, not an eager approxQuantile).
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup())
+    df = _demo_df(spark)
+    out = ranked_prefix(df, "k", ["id"], value="v", rn_col="rn", cum_col="c")
+    out = global_ntile(out, key="v", tiebreaks=["id"], out_col="q")
+    _ = out.schema  # analysis only
+    after = set(tracker.getJobIdsForGroup())
+    assert after == before, f"plan construction launched jobs: {after - before}"
+
+
+def test_fence_broadcast_computed_once(spark):
+    # Branch agreement is structural: the fence percentile aggregate
+    # must materialize as ONE BroadcastExchange, referenced by the
+    # second consumer through ReusedExchange — never two independent
+    # (and potentially divergent) fence computations in one action.
+    df = _demo_df(spark)
+    out = ranked_prefix(df, "k", ["id"], value="v", rn_col="rn", cum_col="c")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # count only the AQE final plan (before the echoed initial plan)
+    final = plan.split("+- == Initial Plan ==")[0]
+    fence_aggs = len(re.findall(r"ObjectHashAggregate.*\bpercentile_approx", final))
+    assert fence_aggs <= 2, f"fence agg duplicated in final plan:\n{final}"
+    assert "ReusedExchange" in final, final
+
+
 def test_single_bucket_degenerates_gracefully(spark):
     df = _demo_df(spark, n=10)
     got = ranked_prefix(df, "k", ["id"], rn_col="rn", n_buckets=1)

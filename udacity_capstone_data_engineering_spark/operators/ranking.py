@@ -12,13 +12,24 @@ window, which is how the four analytics call sites
 hashes unchanged while losing the single-reducer sort:
 
   1. BUCKET — assign each row a range-bucket id from approx-quantile
-     fences of the (double-cast) order key.  The bucket id is a PURE
-     FUNCTION OF ROW VALUES (fences are a driver-side constant list
-     baked into the plan), so it is deterministic under any
-     partitioning and every plan branch below agrees without a
-     persist; balance comes from the quantile fences, and boundary
+     fences of the (double-cast) order key.  The fences are computed
+     LAZILY IN-PLAN (a 1-row ``percentile_approx`` aggregate
+     broadcast-cross-joined to the input), so building the DataFrame
+     runs no Spark jobs — plan inspection stays free — and AQE's
+     exchange reuse shares the input's shuffle between the fence
+     aggregate and the main branch within the one action.  Boundary
      placement does not affect results — only which bucket does the
      local work.
+     Branch agreement is STRUCTURAL: within any single action the
+     fence aggregate materializes as ONE BroadcastExchange that both
+     downstream consumers reference through ``ReusedExchange``
+     (verified by ``test_fence_broadcast_computed_once``), and a
+     recomputed task re-fetches the same immutable broadcast value —
+     so every plan branch sees identical fences even under executor
+     loss, without any persist.  Across separate actions the
+     approx-percentile merge order may yield slightly different
+     fences, which is harmless: boundary placement never affects
+     results, only which bucket does the local work.
   2. LOCAL — one hash shuffle on the bucket id; a per-bucket window
      computes the local row_number / running sum over ~|rows|/B rows
      per task.
@@ -36,9 +47,11 @@ tiebreakers), same as they already did for the single window.
 
 Nulls in the order key are not range-bucketable; callers here never
 produce them (keys are groupBy outputs).  They are routed to the
-first (ASC) / last (DESC) bucket to match Spark's default null
-ordering, but tie order among multiple null keys is only as total as
-the tiebreak columns make it — same contract as the single window.
+first bucket under ASC (``asc`` = nulls first) and PAST the last
+fence under DESC (``desc`` = nulls last), matching Spark's default
+null ordering in both directions; tie order among multiple null keys
+is only as total as the tiebreak columns make it — same contract as
+the single window.
 """
 
 from __future__ import annotations
@@ -125,27 +138,38 @@ def ranked_prefix(
     if descending:
         kd = -kd
 
-    # --- 1. bucket fences (driver-side constants; one pass over df) ---
-    fences: list[float] = []
+    # --- 1. bucket fences (lazy 1-row aggregate, broadcast back) ---
     if n_buckets > 1:
-        probs = [i / n_buckets for i in range(1, n_buckets)]
-        fences = [
-            f
-            for f in df.select(kd.alias("__gr_k")).approxQuantile(
-                "__gr_k", probs, rel_err
-            )
-            if f is not None
-        ]
-    if fences:
-        arr = F.array(*[F.lit(float(f)) for f in fences])
+        probs = F.array(
+            *[F.lit(i / n_buckets) for i in range(1, n_buckets)]
+        )
+        acc = F.lit(max(100, int(round(1.0 / rel_err))))
+        fence_row = df.agg(
+            F.percentile_approx(kd, probs, acc).alias("__gr_fences")
+        )
+        arr = F.col("__gr_fences")
         # number of fences strictly below the key == 0-based bucket id;
         # equal key values always share a bucket (total-order safe).
-        bucket = F.size(F.filter(arr, lambda f: f < kd))
-        bucket = F.when(kd.isNull(), F.lit(0)).otherwise(bucket)
+        # Null keys: Spark's asc = nulls FIRST (bucket 0), desc =
+        # nulls LAST (past every fence — size(arr)); the local window
+        # below orders with the same defaults, so global placement
+        # matches the single unpartitioned window.  coalesce guards
+        # the all-null-key corner where percentile returns NULL.
+        null_bkt = (
+            F.coalesce(F.size(arr), F.lit(0)) if descending else F.lit(0)
+        )
+        bucket = F.when(kd.isNull(), null_bkt).otherwise(
+            F.coalesce(
+                F.size(F.filter(arr, lambda f: f < kd)), F.lit(0)
+            )
+        )
+        bucketed = (
+            df.crossJoin(F.broadcast(fence_row))
+            .withColumn(_BKT, bucket)
+            .drop("__gr_fences")
+        )
     else:
-        bucket = F.lit(0)
-
-    bucketed = df.withColumn(_BKT, bucket)
+        bucketed = df.withColumn(_BKT, F.lit(0))
 
     # --- 2. local window within each bucket ---
     order_cols = [key.desc() if descending else key.asc(), *ties]

@@ -1514,15 +1514,28 @@ def rfm_customer_segments(spark, sf_dir):
         "monetary",
         "last_order",
     )
-    scored = global_ntile(
+    # Score each axis INDEPENDENTLY from the same reduced base and
+    # join the slim (custkey, score) outputs back: the three ranking
+    # plans all reference the identical `scored` subtree, so its
+    # shuffle is computed once and shared via ReusedExchange, and no
+    # axis re-executes another axis's window (chaining the calls
+    # instead re-runs earlier windows ~2^depth times, since exchange
+    # reuse covers exchanges but not the Window operators above them).
+    r_s = global_ntile(
         scored, key="last_order", tiebreaks=["custkey"], out_col="r_score"
-    )
-    scored = global_ntile(
+    ).select("custkey", "r_score")
+    f_s = global_ntile(
         scored, key="frequency", tiebreaks=["custkey"], out_col="f_score"
-    )
-    scored = global_ntile(
+    ).select("custkey", "f_score")
+    m_s = global_ntile(
         scored, key="monetary", tiebreaks=["custkey"], out_col="m_score"
-    ).drop("last_order")
+    ).select("custkey", "m_score")
+    scored = (
+        scored.drop("last_order")
+        .join(r_s, "custkey")
+        .join(f_s, "custkey")
+        .join(m_s, "custkey")
+    )
     return scored.withColumn(
         "rfm",
         F.concat(
