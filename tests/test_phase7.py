@@ -133,3 +133,39 @@ class TestInt8Quantization:
         }
         recall = len(exact & quant) / len(exact)
         assert recall >= 0.9, f"int8 quantization lost too much: {recall}"
+
+
+class TestRerankTwoStage:
+    def test_ann_stage1_final_topk_recall(self, spark, sf_dir):
+        """VERDICT r4 #1: the ANN-stage-1 variants must reproduce the
+        exact pipeline's FINAL top-k (after the stage-2 blend) with
+        recall >= 0.9 — the end-to-end gate, not just stage-1 overlap."""
+        from udacity_capstone_data_engineering_spark.queries_phase7 import (
+            _rerank_pipeline,
+        )
+
+        def final_sets(df):
+            out = {}
+            for r in df.collect():
+                out.setdefault(r.query_id, set()).add(r.neighbor_id)
+            return out
+
+        want = final_sets(_rerank_pipeline(spark, sf_dir, stage1="exact"))
+        assert want, "exact pipeline returned no queries"
+        for backend in ("lsh", "ivfpq"):
+            got = final_sets(_rerank_pipeline(spark, sf_dir, stage1=backend))
+            assert set(got) == set(want), (backend, "query set mismatch")
+            hits = sum(len(got[q] & want[q]) for q in want)
+            total = sum(len(want[q]) for q in want)
+            recall = hits / total
+            assert recall >= 0.9, f"{backend}: final top-k recall {recall:.3f}"
+
+    def test_unknown_stage1_raises(self, spark, sf_dir):
+        import pytest
+
+        from udacity_capstone_data_engineering_spark.queries_phase7 import (
+            _rerank_pipeline,
+        )
+
+        with pytest.raises(ValueError, match="stage1"):
+            _rerank_pipeline(spark, sf_dir, stage1="bogus")

@@ -1,0 +1,43 @@
+"""Round-5 gap closures: the HLL error-bound test the r4 docstring
+claimed (VERDICT r4 #2) and the registered approx-profiler row (#7)."""
+
+from __future__ import annotations
+
+from udacity_capstone_data_engineering_spark import queries as catalog
+
+QUERIES = catalog.queries()
+
+
+def test_approx_distinct_users_error_bound(spark, sf_dir):
+    """|approx − exact| / exact ≤ 3·rsd per event_type.  The query
+    computes both columns side by side (rsd pinned 0.02 in the query),
+    so the bound is checked on its own output — 3 standard errors is
+    the standard HLL++ confidence band."""
+    rows = QUERIES["approx_distinct_users"](spark, sf_dir).collect()
+    assert rows, "no event types profiled"
+    for r in rows:
+        exact = r.exact_users
+        assert exact > 0, r.event_type
+        rel_err = abs(r.approx_users - exact) / exact
+        assert rel_err <= 3 * 0.02, (
+            f"{r.event_type}: approx {r.approx_users} vs exact {exact} "
+            f"(rel err {rel_err:.4f} > 3*rsd)"
+        )
+
+
+def test_profile_orders_approx_registered_matches_impl(spark, sf_dir):
+    """The catalog row must BE the approx impl (same rows), so the
+    tolerance + no-Expand evidence in test_round4_misc.py covers the
+    public query surface too."""
+    from udacity_capstone_data_engineering_spark.queries_phase8 import (
+        profile_orders_impl,
+    )
+
+    got = sorted(
+        tuple(r) for r in QUERIES["profile_orders_approx"](spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in profile_orders_impl(spark, sf_dir, "approx").collect()
+    )
+    assert got == want

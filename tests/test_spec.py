@@ -103,5 +103,10 @@ def test_registry_oracle_coverage_invariant():
         "embedding_ivf_topk",
         "embedding_pq_topk",
         "embedding_ivfpq_topk",
+        # r5 deliberate additions (VERDICT r4 #1/#7): the ANN-stage-1
+        # rerank twin (recall-gated vs the exact pipeline) and the
+        # HLL profiler twin (tolerance-gated vs the exact profiler).
+        "rerank_two_stage_ann",
+        "profile_orders_approx",
     }
     assert set(qs) - set(os_) == allowed_rows_only

@@ -381,6 +381,7 @@ def lsh_topk(
     planes: int | None = None,
     tables: int | None = None,
     multiprobe: int | None = None,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates = pairs sharing any table's bucket
     (deduplicated), then exact cosine ranking of candidates only.
@@ -417,6 +418,13 @@ def lsh_topk(
     # matrix under the byte cap (needed for broadcast scoring anyway);
     # its length is the vector count that drives auto-sizing. Only an
     # over-cap corpus pays a separate count.
+    #
+    # ``queries``: optional serving WORKLOAD (same id/vec columns, ids
+    # a subset of the corpus). Only workload vectors probe — the
+    # bucket index is still built over the full corpus, and all knob
+    # auto-sizing stays a function of CORPUS size (recall depends on
+    # the index, not on how many queries hit it). This is the stage-1
+    # hook ``rerank_two_stage`` uses.
     unit_mat = _collect_unit_matrix(emb, id_col, vec_col, dim)
     n = len(unit_mat[0]) if unit_mat is not None else emb.count()
     if tables is None:
@@ -454,18 +462,31 @@ def lsh_topk(
         # every probed size (12 tables): 0.995 @ 500 vecs/4 planes,
         # 0.985 @ 2k/5 planes, 0.96 @ 20k/7 planes (sf1 probe).
         multiprobe = max(2, planes - 2) if planes <= 6 else planes - 1
-    # Persisted: the self-join reads the bucketed keys from BOTH sides,
-    # and without the persist each side re-runs the scan + bucket UDF.
-    # Rows are (id, table, rank, bucket) ints — tiny vs the vectors.
-    b = lsh_bucket_keys(
-        emb, vec_col, dim, planes, tables, probes=multiprobe
-    ).select(F.col(id_col), "table", "probe_rank", "bucket").persist()
-    left = b.select(
-        F.col(id_col).alias("query_id"), "table", "bucket"
-    )
-    right = b.filter(F.col("probe_rank") == 0).select(
-        F.col(id_col).alias("neighbor_id"), "table", "bucket"
-    )
+    if queries is None:
+        # Persisted: the self-join reads the bucketed keys from BOTH
+        # sides, and without the persist each side re-runs the scan +
+        # bucket UDF. Rows are (id, table, rank, bucket) ints — tiny
+        # vs the vectors.
+        b = lsh_bucket_keys(
+            emb, vec_col, dim, planes, tables, probes=multiprobe
+        ).select(F.col(id_col), "table", "probe_rank", "bucket").persist()
+        left = b.select(
+            F.col(id_col).alias("query_id"), "table", "bucket"
+        )
+        right = b.filter(F.col("probe_rank") == 0).select(
+            F.col(id_col).alias("neighbor_id"), "table", "bucket"
+        )
+    else:
+        # Workload serving: probe keys (with multiprobe) only for the
+        # workload; the build side keys the whole corpus at exact rank
+        # (probes=0 — cheaper than keying everything at full depth and
+        # filtering). Each side is read once, so no persist.
+        left = lsh_bucket_keys(
+            queries, vec_col, dim, planes, tables, probes=multiprobe
+        ).select(F.col(id_col).alias("query_id"), "table", "bucket")
+        right = lsh_bucket_keys(
+            emb, vec_col, dim, planes, tables, probes=0
+        ).select(F.col(id_col).alias("neighbor_id"), "table", "bucket")
     if n * tables * 24 <= BROADCAST_BUILD_MAX_BYTES:
         # Exact-key side is ids+ints only; under the byte gate a
         # broadcast-hash join deletes BOTH shuffle exchanges of the

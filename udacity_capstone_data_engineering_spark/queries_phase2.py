@@ -373,9 +373,11 @@ def token_tfidf(spark, sf_dir):
 @_register("approx_distinct_users", None)  # sketch → rows-only check
 def approx_distinct_users(spark, sf_dir):
     """HyperLogLog++ distinct-user sketch per event type, with the exact
-    count alongside. Approximate ⇒ no hash oracle; the unit test bounds
-    relative error. At 100 TB the sketch is mergeable across partitions
-    (one pass, no distinct shuffle of raw user ids)."""
+    count alongside. Approximate ⇒ no hash oracle; the error bound is
+    unit-tested per group at |approx−exact|/exact ≤ 3·rsd
+    (``tests/test_round5_misc.py::test_approx_distinct_users_error_bound``).
+    At 100 TB the sketch is mergeable across partitions (one pass, no
+    distinct shuffle of raw user ids)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),

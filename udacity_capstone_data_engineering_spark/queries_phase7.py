@@ -332,21 +332,62 @@ def rerank_two_stage(spark, sf_dir):
 
     Serving shape: the QUERY side is a workload (here every
     {_RERANK_QMOD}th vector — queries are a stream, not the corpus),
-    the corpus side is full. Stage-1 is the brute-force exact scorer
-    so the end-to-end result stays deterministic and hash-checkable
-    (its BNLJ is the documented quadratic baseline, same family as
-    ``embedding_cosine_topk``) — cost is corpus-linear PER QUERY; at
-    100 TB stage-1 is the drop-in ``lsh_topk``/``ivf_topk`` ANN tier
-    and the stage-2 blend and top-k are unchanged by that swap."""
-    from udacity_capstone_data_engineering_spark.operators.similarity import (
-        brute_force_topk,
-    )
+    the corpus side is full. THIS registered entry pins
+    ``stage1="exact"`` (the brute-force scorer) so the end-to-end
+    result stays deterministic and hash-checkable against the DuckDB
+    oracle — its BNLJ is the documented quadratic baseline, same
+    family as ``embedding_cosine_topk``. The 100 TB serving shape is
+    ``rerank_two_stage_ann`` (stage1="lsh"): identical stage-2 blend
+    and top-k, candidates from the bucketed ANN tier — per-query cost
+    ~tables·probes·sqrt(n) instead of n; ``stage1="ivfpq"`` wires the
+    compressed-index tier the same way
+    (recall vs this exact pipeline gated ≥0.9 in
+    ``tests/test_similarity.py`` and the sf1 probe)."""
+    return _rerank_pipeline(spark, sf_dir, stage1="exact")
 
+
+def _rerank_pipeline(spark, sf_dir, stage1: str = "exact"):
+    """Shared two-stage pipeline; ``stage1`` picks the candidate
+    generator (VERDICT r4 #1): "exact" = brute-force cosine (oracle
+    anchor), "lsh" = multiprobe hyperplane LSH, "ivfpq" = compressed
+    IVF-PQ index — all through the operators' ``queries=`` workload
+    hook, so only workload vectors probe while the index/corpus side
+    stays full. Stage-2 (the expensive model stand-in, the blend, and
+    the final top-k) is byte-identical across backends."""
     emb = load_table(spark, sf_dir, "embeddings")
     workload = emb.filter(F.col("vec_id") % _RERANK_QMOD == 0)
-    stage1 = brute_force_topk(
-        emb, "vec_id", "embedding", k=_RERANK_K1, queries=workload
-    )
+    if stage1 == "exact":
+        from udacity_capstone_data_engineering_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        s1 = brute_force_topk(
+            emb, "vec_id", "embedding", k=_RERANK_K1, queries=workload
+        )
+    elif stage1 == "lsh":
+        from udacity_capstone_data_engineering_spark.operators.similarity import (
+            lsh_topk,
+        )
+
+        dim = int(emb.select(F.size("embedding").alias("d")).head()["d"])
+        s1 = lsh_topk(
+            emb, "vec_id", "embedding", dim, k=_RERANK_K1, queries=workload
+        )
+    elif stage1 == "ivfpq":
+        from udacity_capstone_data_engineering_spark.operators.pq import (
+            ivfpq_topk,
+        )
+
+        dim = int(emb.select(F.size("embedding").alias("d")).head()["d"])
+        s1 = ivfpq_topk(
+            emb, "vec_id", "embedding", dim, k=_RERANK_K1, queries=workload
+        )
+    else:
+        raise ValueError(f"unknown stage1 backend: {stage1!r}")
+    return _rerank_stage2(s1)
+
+
+def _rerank_stage2(stage1):
     fake_model = (
         F.conv(
             F.substring(
@@ -382,3 +423,19 @@ def rerank_two_stage(spark, sf_dir):
         .filter(F.col("rnk") <= _RERANK_K)
         .select("query_id", "neighbor_id", "rerank_score", "rnk")
     )
+
+
+@_register("rerank_two_stage_ann", None)
+def rerank_two_stage_ann(spark, sf_dir):
+    """The serving-shape twin of ``rerank_two_stage`` (VERDICT r4 #1):
+    stage-1 candidates come from the multiprobe-LSH tier through its
+    ``queries=`` workload hook instead of the brute-force scorer, so
+    per-query stage-1 cost is ~tables·probes·sqrt(n) bucket rows
+    instead of a corpus-linear scan; stage-2 (the md5 model stand-in,
+    the 0.7/0.3 blend, the final top-{_RERANK_K}) is byte-identical to
+    the exact pipeline. Approximate by construction — no SQL oracle;
+    gated instead by the end-to-end final-top-k recall test against
+    the exact pipeline (≥0.9, ``tests/test_similarity.py``) and the
+    sf1 probe's 20k row, mirroring how the other ANN rows are gated
+    through ``ann_recall_report``."""
+    return _rerank_pipeline(spark, sf_dir, stage1="lsh")

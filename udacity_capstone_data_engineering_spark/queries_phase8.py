@@ -406,6 +406,20 @@ def profile_orders_impl(spark, sf_dir, distinct_mode: str = "exact"):
     )
 
 
+@_register("profile_orders_approx", None)
+def profile_orders_approx(spark, sf_dir):
+    """The 100 TB profiler shape (VERDICT r4 #7): identical output
+    schema to ``profile_orders`` but distinct counts come from
+    ``approx_count_distinct`` HLL sketches (rsd pinned 0.01) — ONE
+    unexpanded aggregate pass instead of the exact variant's
+    per-distinct-column Expand multiplier.  Approximate by
+    construction, so no SQL oracle row; gated instead by the ±2%
+    tolerance test against the exact profiler
+    (``tests/test_round4_misc.py``), mirroring how the HLL sketch
+    query is twinned with ``exact_distinct_users``."""
+    return profile_orders_impl(spark, sf_dir, distinct_mode="approx")
+
+
 # ---------------------------------------------------------------------------
 # Incremental rollup merge (algebraic partial-agg state reuse)
 # ---------------------------------------------------------------------------
