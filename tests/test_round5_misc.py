@@ -41,3 +41,56 @@ def test_profile_orders_approx_registered_matches_impl(spark, sf_dir):
         for r in profile_orders_impl(spark, sf_dir, "approx").collect()
     )
     assert got == want
+
+
+def test_ivf_regimes_identical(spark, sf_dir):
+    """VERDICT r4 #3: the new broadcast-regime in-UDF scan must return
+    exactly what the shuffle-distributed pair-join regime returns
+    (same probed cells, exact scoring, same tie rules)."""
+    from udacity_capstone_data_engineering_spark.operators.ivf import ivf_topk
+    from udacity_capstone_data_engineering_spark.sources.catalog import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fast = sorted(
+        tuple(r)
+        for r in ivf_topk(emb, "vec_id", "embedding", k=5)
+        .select("query_id", "neighbor_id", "rnk")
+        .collect()
+    )
+    slow = sorted(
+        tuple(r)
+        for r in ivf_topk(emb, "vec_id", "embedding", k=5, max_broadcast_bytes=1)
+        .select("query_id", "neighbor_id", "rnk")
+        .collect()
+    )
+    assert fast == slow
+
+
+def test_ivf_workload_queries_subset(spark, sf_dir):
+    """The queries= workload hook must return exactly the self-topk
+    rows restricted to the workload's query ids."""
+    from pyspark.sql import functions as F
+
+    from udacity_capstone_data_engineering_spark.operators.ivf import ivf_topk
+    from udacity_capstone_data_engineering_spark.sources.catalog import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    workload = emb.filter(F.col("vec_id") % 7 == 0)
+    got = sorted(
+        tuple(r)
+        for r in ivf_topk(emb, "vec_id", "embedding", k=5, queries=workload)
+        .select("query_id", "neighbor_id", "rnk")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ivf_topk(emb, "vec_id", "embedding", k=5)
+        .filter(F.col("query_id") % 7 == 0)
+        .select("query_id", "neighbor_id", "rnk")
+        .collect()
+    )
+    assert got == want

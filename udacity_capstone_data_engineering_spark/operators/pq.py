@@ -484,6 +484,13 @@ def ivfpq_topk(
         cand = _ivfpq_candidates_udf(
             centers, books, cell_ids, cell_codes, nprobe, rerank
         )
+        # the ADC scan is the CPU-heavy stage: widen a narrow parquet
+        # scan so it parallelizes (no-op at real scale)
+        from udacity_capstone_data_engineering_spark.sources.catalog import (
+            fan_out_small_scan,
+        )
+
+        qv = fan_out_small_scan(qv)
         pairs = (
             qv.select(
                 F.col(id_col).alias("query_id"), cand(F.col("uv")).alias("cs")
@@ -649,8 +656,14 @@ def pq_topk(
         )
 
         cand = _adc_candidates_udf(books, ids, codes, rerank)
+        # widen a narrow scan ahead of the CPU-heavy ADC stage
+        # (no-op at real scale)
+        from udacity_capstone_data_engineering_spark.sources.catalog import (
+            fan_out_small_scan,
+        )
+
         pairs = (
-            v.select(
+            fan_out_small_scan(v).select(
                 F.col(id_col).alias("query_id"), cand(F.col("uv")).alias("cs")
             )
             .select("query_id", F.explode("cs").alias("neighbor_id"))
