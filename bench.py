@@ -91,12 +91,20 @@ HEADLINE = [
     "event_weekday_chisq",
     "customer_spend_gini",
     "embedding_pq_topk",
+    # round 5: ANN-stage-1 rerank + HLL profiler + ivfpq serving tier
+    "rerank_two_stage_ann",
+    "profile_orders_approx",
+    "embedding_ivfpq_topk",
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    # Host-load metadata (VERDICT r4 #4): cross-round ratios are only
+    # meaningful between runs at comparable load — r4's untouched tier
+    # drifted 1.15x purely from outside-the-container contention.
+    load_start = os.getloadavg()
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -114,6 +122,7 @@ def main() -> None:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = sf_dir
+    load_end = os.getloadavg()
     print(
         json.dumps(
             {
@@ -122,6 +131,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "load": {
+                    "cpus": os.cpu_count(),
+                    "load1_start": round(load_start[0], 2),
+                    "load5_start": round(load_start[1], 2),
+                    "load1_end": round(load_end[0], 2),
+                    "load5_end": round(load_end[1], 2),
+                },
             }
         )
     )

@@ -16,27 +16,55 @@ import json
 import sys
 
 
-def load_queries(path: str) -> dict[str, float]:
+def _inner_doc(path: str) -> dict:
     with open(path) as f:
         doc = json.load(f)
     if "queries" in doc:
-        return doc["queries"]
+        return doc
     # driver BENCH_r{N}.json: bench's JSON line is nested under "parsed"
     # (or the last line of "tail")
     if isinstance(doc.get("parsed"), dict) and "queries" in doc["parsed"]:
-        return doc["parsed"]["queries"]
+        return doc["parsed"]
     if "tail" in doc:
         line = doc["tail"].strip().splitlines()[-1]
         inner = json.loads(line[line.index("{"):])
         if "queries" in inner:
-            return inner["queries"]
+            return inner
     raise SystemExit(f"{path}: no 'queries' key")
+
+
+def load_queries(path: str) -> dict[str, float]:
+    return _inner_doc(path)["queries"]
+
+
+def check_load(path: str) -> None:
+    """Refuse the comparison when the run started on a loaded host
+    (VERDICT r4 #4): a start load1 above cores/4 inflated r4's
+    untouched tier 1.15x and poisons every cross-round ratio. Bench
+    runs predating the load field pass with a warning — their load is
+    unknown, not known-bad."""
+    doc = _inner_doc(path)
+    meta = doc.get("load")
+    if not isinstance(meta, dict):
+        print(f"NOTE: {path} has no load metadata (pre-r5 run); "
+              "cannot verify it ran on a quiet host")
+        return
+    cpus = meta.get("cpus") or 1
+    load1 = meta.get("load1_start")
+    if load1 is not None and load1 > cpus / 4:
+        raise SystemExit(
+            f"{path}: started at load1={load1} on {cpus} cpus "
+            f"(> cores/4 = {cpus / 4:.1f}) — rerun on a quiet host; "
+            "contention-poisoned ratios are not comparable"
+        )
 
 
 def main() -> int:
     if len(sys.argv) < 3:
         print(__doc__)
         return 2
+    check_load(sys.argv[1])
+    check_load(sys.argv[2])
     old = load_queries(sys.argv[1])
     new = load_queries(sys.argv[2])
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5

@@ -244,10 +244,25 @@ def probe(sf_dir: str, spark, out: dict) -> None:
     truth = exact_topk_numpy(sf_dir)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
+    from udacity_capstone_data_engineering_spark.operators.pq import pq_topk
+
     for name, fn in {
         "lsh": lambda: lsh_topk(emb, "vec_id", "embedding", dim=64, k=5),
         "ivf": lambda: ivf_topk(emb, "vec_id", "embedding", k=5),
         "ivfpq": lambda: ivfpq_topk(emb, "vec_id", "embedding", dim=64, k=5),
+        # VERDICT r4 #8: the same PQ scan FORCED onto the sharded
+        # cogroup grid path (cap = a quarter of the index bytes → 4
+        # shards, the just-past-the-cap shape), so the fallback's wall
+        # is known before a real corpus crosses the broadcast cap.
+        "pq_shard": lambda: pq_topk(
+            emb,
+            "vec_id",
+            "embedding",
+            dim=64,
+            k=5,
+            max_broadcast_bytes=max(1, emb.count() * 16 // 4),
+        ),
+        "pq": lambda: pq_topk(emb, "vec_id", "embedding", dim=64, k=5),
     }.items():
         t0 = time.monotonic()
         got = {(r.query_id, r.neighbor_id) for r in fn().collect()}
@@ -255,6 +270,36 @@ def probe(sf_dir: str, spark, out: dict) -> None:
         rec = len(truth & got) / len(truth)
         out[f"{tag}:{name}"] = {"recall@5": round(rec, 4), "sec": round(dt, 2)}
         print(json.dumps({tag: name, "recall@5": round(rec, 4), "sec": round(dt, 2)}), flush=True)
+
+    # VERDICT r4 #1: end-to-end two-stage rerank — final top-5 of the
+    # ANN-stage-1 pipelines vs the exact pipeline, at probe scale.
+    from udacity_capstone_data_engineering_spark.queries_phase7 import (
+        _rerank_pipeline,
+    )
+
+    def final_pairs(df):
+        return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+    t0 = time.monotonic()
+    exact_final = final_pairs(_rerank_pipeline(spark, sf_dir, stage1="exact"))
+    dt = time.monotonic() - t0
+    out[f"{tag}:rerank_exact"] = {"sec": round(dt, 2)}
+    print(json.dumps({tag: "rerank_exact", "sec": round(dt, 2)}), flush=True)
+    for backend in ("lsh", "ivfpq"):
+        t0 = time.monotonic()
+        got = final_pairs(_rerank_pipeline(spark, sf_dir, stage1=backend))
+        dt = time.monotonic() - t0
+        rec = len(exact_final & got) / len(exact_final)
+        out[f"{tag}:rerank_{backend}"] = {
+            "final_top5_recall": round(rec, 4),
+            "sec": round(dt, 2),
+        }
+        print(
+            json.dumps(
+                {tag: f"rerank_{backend}", "final_top5_recall": round(rec, 4), "sec": round(dt, 2)}
+            ),
+            flush=True,
+        )
 
     qs = queries()
     for qname in [
