@@ -46,7 +46,10 @@ I94VISA_SCHEMA = StructType(
 # Columns the reference drops: >60%-null (notebook cells 12-14) then
 # unneeded operational fields (etl.py:163-168).
 HIGH_NULL_COLS = ["visapost", "occup", "entdepu", "insnum", "fltno"]
-UNNEEDED_COLS = ["count", "entdepa", "entdepd", "matflag", "dtadfile", "dtaddto", "biryear"]
+# ref etl.py:167 — the reference drops admnum and KEEPS dtadfile;
+# rounds 2-4 had the two swapped (caught by the r5 sampled fact-value
+# parity test against the committed golden output)
+UNNEEDED_COLS = ["count", "entdepa", "entdepd", "matflag", "dtaddto", "biryear", "admnum"]
 
 
 def build_star_schema(
