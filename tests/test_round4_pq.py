@@ -58,6 +58,20 @@ def test_ivfpq_sharded_path_matches_broadcast(spark, sf_dir):
     assert got == want
 
 
+def test_ivfpq_subsharded_hot_cells_match_broadcast(spark, sf_dir):
+    """ADVICE r4: a cap smaller than single cells forces the hot-cell
+    hash-SPLIT (nsub > 1 for every populated cell at cap=64 B — cells
+    at 500 vectors / 16 cells hold ~31 rows ≈ 500 B of codes); results
+    must still equal the broadcast kernel bit-for-bit."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    kw = dict(dim=64, k=5, n_centroids=16, nprobe=12)
+    want = _rows(ivfpq_topk(emb, "vec_id", "embedding", **kw))
+    got = _rows(
+        ivfpq_topk(emb, "vec_id", "embedding", max_broadcast_bytes=64, **kw)
+    )
+    assert got == want
+
+
 def test_adc_chunked_tournament_matches_one_shot(monkeypatch):
     rng = np.random.default_rng(7)
     n, m, ksub, nq, take = 1000, 8, 16, 37, 50

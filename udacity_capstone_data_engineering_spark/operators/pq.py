@@ -155,9 +155,25 @@ def _encode_udf(books):
 
 def _query_luts(x, books):
     """Per-subspace ADC lookup tables for a query block: list of
-    (n_queries × ksub) float64 arrays."""
+    (n_queries × ksub) float64 arrays.
+
+    Computed with ``einsum`` (default optimize=False — a fixed-order C
+    loop, NOT a shape-adaptive BLAS kernel), so each LUT entry is a
+    pure function of (query row, codebook row) regardless of how the
+    query block is composed (ADVICE r4): the broadcast kernel's Arrow
+    batches and the sharded grid's hash blocks slice queries
+    differently, and dgemm/dgemv results may differ in the last ulp
+    across shapes — einsum makes LUTs, and with the fixed per-subspace
+    accumulation order every downstream ADC score, bit-identical
+    across regimes.  ~1.7× the dgemm cost on the LUTs only (measured
+    0.6 s vs 0.36 s per 10k-query batch), invisible next to the scan."""
+    import numpy as np
+
     m, _k, dsub = books.shape
-    return [x[:, s * dsub : (s + 1) * dsub] @ books[s].T for s in range(m)]
+    return [
+        np.einsum("qd,kd->qk", x[:, s * dsub : (s + 1) * dsub], books[s])
+        for s in range(m)
+    ]
 
 
 def _adc_top_block(luts, ids, codes, take):
@@ -248,14 +264,17 @@ def _ivfpq_candidates_udf(centers, books, cell_ids, cell_codes, nprobe, rerank):
         cell_scores = x @ centers.T - correction
         take_cells = min(nprobe, cell_scores.shape[1])
         probed = np.argsort(-cell_scores, axis=1, kind="stable")[:, :take_cells]
+        # batch-level shape-invariant LUTs (same einsum kernel as the
+        # sharded grid — ADVICE r4: per-query dgemv here vs the shard
+        # path's dgemm could differ in the last ulp)
+        luts = _query_luts(x, books)
         out = []
         for qi in range(len(x)):
             ids = np.concatenate([cell_ids[c] for c in probed[qi]])
             codes = np.concatenate([cell_codes[c] for c in probed[qi]])
             scores = np.zeros(len(ids), dtype=np.float64)
             for s in range(m):
-                lut = x[qi, s * dsub : (s + 1) * dsub] @ books[s].T
-                scores += lut[codes[:, s]]
+                scores += luts[s][qi][codes[:, s]]
             # candidates ordered by (score desc, id asc): sort ids first
             order = np.argsort(ids, kind="stable")
             ids, scores = ids[order], scores[order]
@@ -377,9 +396,12 @@ def ivfpq_topk(
     Past the broadcast cap the inverted file STAYS DISTRIBUTED and
     the scan becomes the cell-sharded grid join
     (``_sharded_adc_candidates`` — shards ARE cells, so each query
-    still touches only its probed cells); under it, the classic
-    driver-collected broadcast inverted file.  Both regimes return
-    identical results (forced-cap equality test).
+    still touches only its probed cells; a hot cell whose measured
+    code bytes exceed the cap is hash-split into sub-shards, so the
+    per-task bound is ENFORCED under any skew — ADVICE r4); under it,
+    the classic driver-collected broadcast inverted file.  Both
+    regimes return identical results (forced-cap equality tests,
+    including a cap small enough to force sub-shard splits).
 
     ``queries``: optional serving WORKLOAD — a DataFrame with the same
     ``id_col``/``vec_col`` columns whose ids are a subset of the
@@ -442,16 +464,59 @@ def ivfpq_topk(
     # one byte per subspace + the int64 id — the bytes actually shipped
     index_bytes = n * (8 + m)
     if index_bytes > cap:
-        # ---- sharded regime: shards ARE the IVF cells ----
-        coded = v.select(
+        # ---- sharded regime: shards ARE the IVF cells, except that a
+        # HOT cell whose measured code bytes exceed the cap is
+        # hash-SPLIT into sub-shards (ADVICE r4: cell sizes are
+        # data-dependent, so "every shard fits the cap" must be
+        # enforced, not assumed).  The split changes nothing about
+        # results: per-(query,row) ADC scores are shard-independent
+        # and the query-keyed window merge already reduces per-shard
+        # top-rerank sets globally with the same tie rule.  Sizing
+        # needs one tiny aggregate (cells × count — sqrt(n) rows to
+        # the driver).
+        coded_cells = v.select(
             F.col(id_col).alias("id"),
-            assign(F.col("uv")).cast("int").alias("__shard"),
+            assign(F.col("uv")).cast("int").alias("__cell"),
             encode(F.col("uv")).alias("codes"),
         )
+        spark = emb.sparkSession
+        row_bytes = 8 + m
+        counts = {
+            r["__cell"]: r["cnt"]
+            for r in coded_cells.groupBy("__cell")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        meta_rows, map_rows, off = [], [], 0
+        for c in sorted(counts):
+            nsub = max(1, -(-counts[c] * row_bytes // max(cap, 1)))
+            meta_rows.append((c, off, nsub))
+            map_rows.extend((c, off + j) for j in range(nsub))
+            off += nsub
+        meta = spark.createDataFrame(
+            meta_rows or [(0, 0, 1)], "__cell int, __off int, __nsub int"
+        )
+        mapping = spark.createDataFrame(
+            map_rows or [(0, 0)], "__cell int, __shard int"
+        )
+        coded = (
+            coded_cells.join(F.broadcast(meta), "__cell")
+            .withColumn(
+                "__shard",
+                (
+                    F.col("__off") + F.pmod(F.xxhash64("id"), F.col("__nsub"))
+                ).cast("int"),
+            )
+            .select("id", "codes", "__shard")
+        )
         probe = _probe_cells_udf(centers, nprobe)
-        probes = qv.select(
-            F.col(id_col).alias("query_id"),
-            F.explode(probe(F.col("uv"))).alias("__shard"),
+        probes = (
+            qv.select(
+                F.col(id_col).alias("query_id"),
+                F.explode(probe(F.col("uv"))).alias("__cell"),
+            )
+            .join(F.broadcast(mapping), "__cell")
+            .select("query_id", "__shard")
         )
         qframe = qv.select(F.col(id_col).alias("query_id"), "uv")
         pairs = _sharded_adc_candidates(
