@@ -77,6 +77,7 @@ def test_no_python_udfs_in_relational_tier(spark, sf_dir):
         "embedding_pq_topk",    # batch encode + ADC candidate scan
         "embedding_ivfpq_topk", # cell-filtered ADC scan
         "ann_recall_report",    # composes the ANN queries above
+        "rerank_two_stage_ann", # LSH stage-1 (batch matmul bucketing)
     }
     for name, fn in QUERIES.items():
         if name in declared_arrow:
@@ -433,6 +434,11 @@ def test_no_cartesian_anywhere_and_bnlj_only_where_documented(spark, sf_dir):
         "concurrent_sessions_peak",
         "rfm_customer_segments",
         "event_weekday_chisq",
+        # r5 lazy in-plan ranking fences: the quantile-fence 1-row
+        # aggregate broadcasts back via a BNLJ cross join (ADVICE r4 —
+        # replaces the eager driver-side approxQuantile job)
+        "customer_spend_gini",
+        "parts_abc_pareto",
     }
     offenders_cart, offenders_bnlj = [], []
     for name, (fn, _) in sorted(_REGISTRY.items()):

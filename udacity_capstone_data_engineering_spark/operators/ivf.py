@@ -64,10 +64,14 @@ def _fit_centroids(
         # up to |c|² correction, computed exactly)
         d = x @ centers.T - 0.5 * (centers * centers).sum(axis=1)
         lab = d.argmax(axis=1)
-        for c in range(k):
-            members = x[lab == c]
-            if len(members):
-                centers[c] = members.mean(axis=0)
+        # vectorized Lloyd update (same scatter-add as the PQ fit —
+        # the per-centroid boolean-mask loop is O(k·n) per iter and
+        # dominates once k grows as sqrt(n))
+        sums = np.zeros_like(centers)
+        np.add.at(sums, lab, x)
+        counts = np.bincount(lab, minlength=k).astype(np.float64)
+        nonempty = counts > 0
+        centers[nonempty] = sums[nonempty] / counts[nonempty, None]
     return centers
 
 

@@ -481,12 +481,18 @@ def ivfpq_topk(
         )
         spark = emb.sparkSession
         row_bytes = 8 + m
-        counts = {
-            r["__cell"]: r["cnt"]
-            for r in coded_cells.groupBy("__cell")
+        # bounded Arrow boundary: cells × count = sqrt(n) rows
+        cnt_pdf = (
+            coded_cells.groupBy("__cell")
             .agg(F.count(F.lit(1)).alias("cnt"))
-            .collect()
-        }
+            .toPandas()
+        )
+        counts = dict(
+            zip(
+                cnt_pdf["__cell"].astype(int).tolist(),
+                cnt_pdf["cnt"].astype(int).tolist(),
+            )
+        )
         meta_rows, map_rows, off = [], [], 0
         for c in sorted(counts):
             nsub = max(1, -(-counts[c] * row_bytes // max(cap, 1)))
