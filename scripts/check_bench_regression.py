@@ -27,9 +27,26 @@ def _inner_doc(path: str) -> dict:
         return doc["parsed"]
     if "tail" in doc:
         line = doc["tail"].strip().splitlines()[-1]
-        inner = json.loads(line[line.index("{"):])
-        if "queries" in inner:
-            return inner
+        if "{" in line:
+            inner = json.loads(line[line.index("{"):])
+            if "queries" in inner:
+                return inner
+        # TRUNCATED artifact (the driver keeps only the tail of the
+        # output, which can start mid-JSON — BENCH_r04.json does):
+        # recover the per-query floats by regex; the one query whose
+        # name the cut bisected is dropped.
+        import re
+
+        pairs = {
+            k: float(v)
+            for k, v in re.findall(r'"([A-Za-z0-9_]+)": ([0-9.]+)', line)
+            if k not in ("value", "sf", "cpus", "load1_start",
+                         "load5_start", "load1_end", "load5_end")
+        }
+        if pairs:
+            print(f"NOTE: {path} tail is truncated mid-JSON; recovered "
+                  f"{len(pairs)} per-query entries by regex")
+            return {"queries": pairs}
     raise SystemExit(f"{path}: no 'queries' key")
 
 

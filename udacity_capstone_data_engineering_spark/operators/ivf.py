@@ -171,6 +171,13 @@ def _ivf_scan_candidates_udf(centers, cell_ids, cell_mats, nprobe, take):
 # ELEMENTS (32M ≈ 256 MB) — same discipline as pq.ADC_CHUNK_ELEMS.
 _SCAN_CHUNK_ELEMS = 32_000_000
 
+# Estimated candidate pairs (n_queries × n × probed fraction) below
+# which the pair-join regime wins: its one slim shuffle is cheaper
+# than the kernel's fixed costs at small volume (measured crossover
+# between 3M pairs — pair-join 1.7× faster — and 300M — kernel 13×
+# faster).
+_PAIR_JOIN_MAX_PAIRS = 8_000_000
+
 
 def _probe_cells_udf(centers, nprobe: int):
     """pandas_udf: unit vector → array of its nprobe nearest cell ids,
@@ -281,8 +288,16 @@ def ivf_topk(
 
     head = emb.select(F.size(F.col(vec_col)).alias("d")).head()
     dim = int(head["d"]) if head is not None else 0
+    # Regime choice: the in-UDF scan needs the index under the
+    # broadcast cap AND enough candidate volume to amortize its fixed
+    # costs (driver inverted file, python workers) — below the
+    # crossover the pair-join's one small shuffle is cheaper (measured
+    # at 2k vectors / 3M pairs: pair-join 1.8 s vs kernel 3.0 s warm;
+    # at 20k / 300M pairs: kernel 55 s vs pair-join 747 s).
+    n_q = n if queries is None else queries.count()
+    est_pairs = n_q * n * (min(nprobe, n_centroids) / max(n_centroids, 1))
     unit_mat = None
-    if n * dim * 8 <= cap:
+    if n * dim * 8 <= cap and est_pairs > _PAIR_JOIN_MAX_PAIRS:
         unit_mat = _collect_unit_matrix(emb, id_col, vec_col, dim)
     if unit_mat is not None:
         # ---- broadcast regime: in-UDF exact scan of probed cells ----
