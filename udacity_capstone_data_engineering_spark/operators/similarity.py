@@ -74,6 +74,76 @@ def _hyperplane(dim: int, table: int, plane: int) -> list[float]:
     return out
 
 
+def _lsh_key_fn(dim: int, planes: int, tables: int, probes: int):
+    """The pure numpy probe-key machinery shared by the DataFrame
+    bucketing UDF and the in-UDF scan kernel, so both paths produce
+    BYTE-IDENTICAL key sequences for the same raw vectors.  Returns
+    ``(fn, n_probes)`` where ``fn(x)`` maps a (batch × dim) RAW float
+    matrix to (batch × tables·(n_probes+1)) int64 keys laid out
+    [t0r0, t0r1, …, t1r0, …] (just (batch × tables) when n_probes is
+    0).  Keys must be computed from RAW vectors (as the bucketing UDF
+    always has): signs and margin ORDER are scale-invariant, but
+    dividing by the norm can collapse near-tied margins differently
+    in the last ulp."""
+    import itertools
+
+    import numpy as np
+
+    hmat = np.array(
+        [
+            _hyperplane(dim, t, p)
+            for t in range(tables)
+            for p in range(planes)
+        ],
+        dtype=np.float64,
+    ).T  # (dim, tables*planes)
+    weights = (2 ** np.arange(planes, dtype=np.int64))[None, None, :]
+    if planes >= 3:
+        universe = max(3, -(-planes // 2))  # ceil(planes/2)
+        subsets = [
+            s
+            for r in range(1, universe + 1)
+            for s in itertools.combinations(range(universe), r)
+        ]
+        n_probes = min(probes, len(subsets))
+    else:
+        subsets = []
+        n_probes = min(probes, planes)
+
+    def fn(x):
+        proj = (x @ hmat).reshape(len(x), tables, planes)
+        bits = proj > 0
+        keys = (bits * weights).sum(axis=2, dtype=np.int64)
+        if not n_probes:
+            return keys
+        margins = np.abs(proj)
+        order = np.argsort(margins, axis=2)
+        if planes < 3:
+            out = np.empty((len(x), tables * (n_probes + 1)), dtype=np.int64)
+            out[:, :: n_probes + 1] = keys
+            for r in range(n_probes):
+                out[:, r + 1 :: n_probes + 1] = keys ^ (
+                    np.int64(1) << order[:, :, r]
+                )
+            return out
+        n_univ = max(p for s in subsets for p in s) + 1
+        low = order[:, :, :n_univ]
+        mlow = np.take_along_axis(margins, low, axis=2)
+        scores = np.stack(
+            [mlow[:, :, list(s)].sum(axis=2) for s in subsets], axis=2
+        )
+        masks = np.zeros(scores.shape, dtype=np.int64)
+        for si, s in enumerate(subsets):
+            for pos in s:
+                masks[:, :, si] |= np.int64(1) << low[:, :, pos]
+        rank = np.argsort(scores, axis=2, kind="stable")[:, :, :n_probes]
+        probe_keys = keys[:, :, None] ^ np.take_along_axis(masks, rank, axis=2)
+        out = np.concatenate([keys[:, :, None], probe_keys], axis=2)
+        return out.reshape(len(x), -1)
+
+    return fn, n_probes
+
+
 def lsh_bucket_keys(
     emb: DataFrame,
     vec_col: str,
@@ -113,73 +183,15 @@ def lsh_bucket_keys(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    hmat = np.array(
-        [
-            _hyperplane(dim, t, p)
-            for t in range(tables)
-            for p in range(planes)
-        ],
-        dtype=np.float64,
-    ).T  # (dim, tables*planes)
-    weights = (2 ** np.arange(planes, dtype=np.int64))[None, None, :]
-    # Perturbation universe: non-empty subsets of the U lowest-margin
-    # bits (positions refer to the margin-sorted order, 0 = smallest).
-    # U must GROW with the key width: with 10 planes a true neighbor's
-    # key routinely differs in 3+ bits, and a universe capped at 3
-    # bits (7 subsets) saturates the probe sequence — measured recall
-    # 0.96 → 0.61 from 2k to 20k vectors (sf1 probe, r3) with probes
-    # pinned at 7. U = max(3, ceil(planes/2)) keeps the universe ahead
-    # of the demanded probe depth; the subset count 2^U - 1 stays
-    # small (≤ 31 for planes ≤ 10), so the per-row ranking matmul is
-    # still trivial next to the projection itself.
-    import itertools
-
-    if planes >= 3:
-        universe = max(3, -(-planes // 2))  # ceil(planes/2)
-        _SUBSETS = [
-            s
-            for r in range(1, universe + 1)
-            for s in itertools.combinations(range(universe), r)
-        ]
-        n_probes = min(probes, len(_SUBSETS))
-    else:
-        _SUBSETS = []
-        n_probes = min(probes, planes)
-    n_tables, n_planes = tables, planes
+    # Perturbation universe note (lives in _lsh_key_fn): non-empty
+    # subsets of the U lowest-margin bits, U = max(3, ceil(planes/2))
+    # — U must GROW with key width or the probe sequence saturates
+    # (measured recall 0.96 → 0.61 from 2k to 20k vectors, r3).
+    keyfn, n_probes = _lsh_key_fn(dim, planes, tables, probes)
 
     def buckets(v):
         x = np.vstack(v.to_numpy())  # (batch, dim)
-        proj = (x @ hmat).reshape(len(x), n_tables, n_planes)
-        bits = proj > 0
-        keys = (bits * weights).sum(axis=2, dtype=np.int64)  # (batch, tables)
-        if not n_probes:
-            return pd.Series(list(keys))
-        margins = np.abs(proj)
-        order = np.argsort(margins, axis=2)  # (batch, tables, planes)
-        if n_planes < 3:
-            # Degenerate tiny-key case: single-bit flips only.
-            out = np.empty((len(x), n_tables * (n_probes + 1)), dtype=np.int64)
-            out[:, :: n_probes + 1] = keys
-            for r in range(n_probes):
-                out[:, r + 1 :: n_probes + 1] = keys ^ (
-                    np.int64(1) << order[:, :, r]
-                )
-            return pd.Series(list(out))
-        n_univ = max(p for s in _SUBSETS for p in s) + 1
-        low = order[:, :, :n_univ]  # margin-sorted bit indices
-        mlow = np.take_along_axis(margins, low, axis=2)  # their margins
-        # Score + XOR mask for every candidate subset in the universe.
-        scores = np.stack(
-            [mlow[:, :, list(s)].sum(axis=2) for s in _SUBSETS], axis=2
-        )  # (batch, tables, |universe|)
-        masks = np.zeros(scores.shape, dtype=np.int64)
-        for si, s in enumerate(_SUBSETS):
-            for pos in s:
-                masks[:, :, si] |= np.int64(1) << low[:, :, pos]
-        rank = np.argsort(scores, axis=2, kind="stable")[:, :, :n_probes]
-        probe_keys = keys[:, :, None] ^ np.take_along_axis(masks, rank, axis=2)
-        out = np.concatenate([keys[:, :, None], probe_keys], axis=2)
-        return pd.Series(list(out.reshape(len(x), -1)))
+        return pd.Series(list(keyfn(x)))
 
     udf = pandas_udf(buckets, "array<long>")
     keyed = emb.select("*", udf(F.col(vec_col).cast("array<double>")).alias("__keys"))
@@ -269,6 +281,107 @@ def _collect_unit_matrix(emb, id_col: str, vec_col: str, dim: int):
 # LSH candidate join and let it shuffle. Same philosophy as
 # BROADCAST_SCORE_MAX_BYTES: measured bytes, not row counts.
 BROADCAST_BUILD_MAX_BYTES = 64 * 1024 * 1024
+
+# Estimated candidate MULTISET rows (n_queries × tables × (probes+1) ×
+# mean bucket size) above which lsh_topk's in-UDF scan kernel beats the
+# candidate join: the join materializes the multiset through a
+# distinct shuffle, the kernel never leaves the Python worker.
+# Measured crossover: join 3.7 s at ~12M rows (2k vectors) vs kernel
+# 352 s → ~35 s at ~380M rows (20k). Same discipline as
+# ivf._PAIR_JOIN_MAX_PAIRS.
+LSH_JOIN_MAX_CANDIDATES = 32_000_000
+
+
+def _collect_raw_matrix(emb, id_col, vec_col, dim):
+    """Like :func:`_collect_unit_matrix` but returns
+    ``(ids, raw, unit)`` sorted by id, KEEPING zero-norm rows (their
+    unit row is zeroed): the scan kernel must compute bucket keys from
+    the RAW vectors — exactly the bytes the bucketing UDF sees — and
+    zero-norm rows are bucket members in the join path too.  ``None``
+    past the byte cap."""
+    import numpy as np
+
+    max_rows = BROADCAST_SCORE_MAX_BYTES // (8 * max(dim, 1))
+    pdf = (
+        emb.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .filter(F.col(vec_col).isNotNull())
+        .limit(max_rows + 1)
+        .toPandas()
+    )
+    if len(pdf) > max_rows:
+        return None
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    raw = (
+        np.vstack(pdf.iloc[:, 1].to_numpy()).astype(np.float64)
+        if len(pdf)
+        else np.zeros((0, dim), dtype=np.float64)
+    )
+    order = np.argsort(ids, kind="stable")
+    ids, raw = ids[order], raw[order]
+    norms = np.linalg.norm(raw, axis=1, keepdims=True)
+    safe = np.where(norms == 0, 1.0, norms)
+    unit = raw / safe
+    unit[norms[:, 0] == 0] = 0.0
+    return ids, raw, unit
+
+
+def _lsh_scan_candidates_udf(corpus_keyfn, probe_keyfn, n_probes, ids, raw, unit, take):
+    """pandas_udf: RAW query vector → its top-``take`` candidate ids
+    from the broadcast bucket index, scored exactly — the LSH analogue
+    of ``ivf._ivf_scan_candidates_udf`` (r5: the candidate JOIN
+    materialized a ~tables·probes·bucket² multiset through a distinct
+    shuffle, measured 352 s at 20k vectors; this kernel gathers and
+    scores inside the worker).
+
+    The index maps (table, exact key) → positions into the id-sorted
+    unit matrix; per query the probe keys come from the SAME
+    ``_lsh_key_fn`` machinery as the bucketing UDF (raw vectors in,
+    byte-identical key sequences out), gathered positions are
+    deduplicated with one sort, and the exact cosine top-``take`` is
+    emitted with (score desc, id asc) ties — zero-norm corpus rows
+    score −inf, matching the join path's NULL-cosine-ranked-last."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # build the (table, key) → positions index from the corpus keys
+    corpus_keys = corpus_keyfn(raw)  # (n, tables) — probes=0 machinery
+    n_tables = corpus_keys.shape[1] if corpus_keys.ndim == 2 else 1
+    index: dict[tuple[int, int], object] = {}
+    for t in range(n_tables):
+        kt = corpus_keys[:, t]
+        order = np.argsort(kt, kind="stable")
+        sk = kt[order]
+        bounds = np.flatnonzero(np.diff(sk)) + 1
+        for grp in np.split(order, bounds):
+            if len(grp):
+                index[(t, int(kt[grp[0]]))] = np.sort(grp)
+    zero_mask = (unit == 0).all(axis=1)
+
+    def scan(v):
+        x = np.vstack(v.to_numpy())
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        xq = x / np.where(norms == 0, 1.0, norms)
+        pk = probe_keyfn(x).reshape(len(x), n_tables, n_probes + 1)
+        out = []
+        for qi in range(len(x)):
+            parts = [
+                arr
+                for t in range(n_tables)
+                for r in range(n_probes + 1)
+                if (arr := index.get((t, int(pk[qi, t, r])))) is not None
+            ]
+            if not parts:
+                out.append(np.zeros(0, dtype=np.int64))
+                continue
+            pos = np.unique(np.concatenate(parts))
+            s = unit[pos] @ xq[qi]
+            s[zero_mask[pos]] = -np.inf
+            top = np.argsort(-s, kind="stable")[: min(take, len(pos))]
+            out.append(ids[pos[top]].astype(np.int64))
+        return pd.Series(out)
+
+    return pandas_udf(scan, "array<long>")
 
 
 def _score_pairs(
@@ -462,6 +575,51 @@ def lsh_topk(
         # every probed size (12 tables): 0.995 @ 500 vecs/4 planes,
         # 0.985 @ 2k/5 planes, 0.96 @ 20k/7 planes (sf1 probe).
         multiprobe = max(2, planes - 2) if planes <= 6 else planes - 1
+    # Regime choice (r5): above the candidate-volume crossover, gather
+    # and score candidates INSIDE the worker from a broadcast bucket
+    # index instead of materializing the tables·probes·bucket²
+    # multiset through the join + distinct (measured 352 s at 20k
+    # vectors on the join path). Mean per-table bucket size is
+    # n / 2^planes; both regimes return identical rows
+    # (test_lsh_regimes_identical).
+    n_q = n if queries is None else queries.count()
+    est_candidates = n_q * tables * (multiprobe + 1) * (n / (2 ** planes))
+    if unit_mat is not None and est_candidates > LSH_JOIN_MAX_CANDIDATES:
+        rawm = _collect_raw_matrix(emb, id_col, vec_col, dim)
+    else:
+        rawm = None
+    if rawm is not None:
+        from udacity_capstone_data_engineering_spark.sources.catalog import (
+            fan_out_small_scan,
+        )
+
+        ids_s, raw_m, unit_m = rawm
+        corpus_keyfn, _ = _lsh_key_fn(dim, planes, tables, 0)
+        probe_keyfn, npb = _lsh_key_fn(dim, planes, tables, multiprobe)
+        cand_udf = _lsh_scan_candidates_udf(
+            corpus_keyfn, probe_keyfn, npb, ids_s, raw_m, unit_m, take=k + 8
+        )
+        qsrc = fan_out_small_scan(emb if queries is None else queries)
+        cand = (
+            qsrc.select(
+                F.col(id_col).alias("query_id"),
+                cand_udf(F.col(vec_col).cast("array<double>")).alias("cs"),
+            )
+            .select("query_id", F.explode("cs").alias("neighbor_id"))
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+        )
+        scored = _score_pairs(
+            emb, id_col, vec_col, cand, n=n, unit_mat=unit_mat
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rnk")
+        )
+
     if queries is None:
         # Persisted: the self-join reads the bucketed keys from BOTH
         # sides, and without the persist each side re-runs the scan +
