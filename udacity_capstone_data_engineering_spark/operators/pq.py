@@ -60,6 +60,12 @@ from pyspark.sql import functions as F
 # batch_rows × chunk stays bounded regardless of corpus size.
 ADC_CHUNK_ELEMS = 32_000_000
 
+# Column width of the reused gather window inside _adc_top_block's
+# accumulation — sized for cache residency under MANY concurrent
+# workers, measured best at 2048 for nq 625 AND 10000 (smaller hits a
+# short-gather slow path, larger spills shared L3).
+_ADC_ACC_COLS = 2048
+
 # Target rows per query block in the sharded grid join — bounds the
 # per-task pandas group (block × dim doubles) and the score buffer.
 ADC_QUERY_BLOCK_ROWS = 4096
@@ -201,23 +207,57 @@ def _adc_top_block(luts, ids, codes, take):
     best_s = np.zeros((nq, 0), dtype=np.float64)
     for lo in range(0, n, chunk):
         hi = min(lo + chunk, n)
-        sc = np.zeros((nq, hi - lo), dtype=np.float64)
-        for s, lut in enumerate(luts):
-            sc += lut[:, codes[lo:hi, s]]
-        cand_i = np.broadcast_to(ids[lo:hi], sc.shape)
-        # invariant: previous best ids < this chunk's ids (global id
-        # sort), and best rows stay id-ascending — so a stable
-        # argsort on -score ties toward the LOWER id, exactly like
-        # the one-shot kernel
-        all_s = np.concatenate([best_s, sc], axis=1)
-        all_i = np.concatenate([best_i, cand_i], axis=1)
-        order = np.argsort(-all_s, axis=1, kind="stable")[:, :take]
-        best_s = np.take_along_axis(all_s, order, axis=1)
-        best_i = np.take_along_axis(all_i, order, axis=1)
-        # restore id-ascending storage for the next round's tie rule
-        re = np.argsort(best_i, axis=1, kind="stable")
-        best_i = np.take_along_axis(best_i, re, axis=1)
-        best_s = np.take_along_axis(best_s, re, axis=1)
+        nb = best_s.shape[1]
+        width = nb + (hi - lo)
+        # one buffer holds [carry-over best | this chunk]; gather into
+        # it through a reused ~2048-column sliding window (accumulation
+        # ORDER over subspaces is unchanged, so scores stay
+        # bit-identical). The windowed np.take(out=) form exists for
+        # memory behavior, not semantics: the r4 one-gather-per-subspace
+        # form allocated 7 fresh (nq × chunk) float64 temps per chunk,
+        # and at 32 concurrent workers that allocation+bandwidth storm
+        # collapsed throughput 8× (measured 48.6 s → 1.5 s wall for 32
+        # parallel 625-query scans of 20k codes after this rewrite;
+        # 2048 columns beat both 512 and 8192 at every probed nq).
+        all_s = np.empty((nq, width), dtype=np.float64)
+        all_s[:, :nb] = best_s
+        sc = all_s[:, nb:]
+        w = hi - lo
+        tmp = np.empty((nq, min(_ADC_ACC_COLS, w)), dtype=np.float64)
+        for b0 in range(0, w, _ADC_ACC_COLS):
+            b1 = min(b0 + _ADC_ACC_COLS, w)
+            view = sc[:, b0:b1]
+            np.take(luts[0], codes[lo + b0 : lo + b1, 0], axis=1, out=view)
+            t = tmp[:, : b1 - b0]
+            for s in range(1, len(luts)):
+                np.take(luts[s], codes[lo + b0 : lo + b1, s], axis=1, out=t)
+                view += t
+        all_i = np.concatenate(
+            [best_i, np.broadcast_to(ids[lo:hi], (nq, hi - lo))], axis=1
+        )
+        if width <= take:
+            best_s, best_i = all_s, np.ascontiguousarray(all_i)
+            continue
+        # Invariant: previous best ids < this chunk's ids (global id
+        # sort) and best rows stay id-ascending, so one row is one
+        # id-ascending sequence. Top-``take`` selection WITHOUT the
+        # O(width log width) stable mergesort the r4 kernel paid per
+        # chunk (its argsort dominated the chunk wall and its index
+        # matrix the memory traffic — 8× contention collapse at 32
+        # concurrent workers): threshold at the take-th largest, keep
+        # everything strictly greater, then fill with the LOWEST
+        # storage indices among threshold ties — row-major boolean
+        # selection order IS id-ascending, which IS the stable
+        # argsort's tie rule, so the kept set and its storage order
+        # match the r4 kernel bit-for-bit
+        # (test_adc_chunked_tournament_matches_one_shot).
+        kth = np.partition(all_s, width - take, axis=1)[:, width - take]
+        gt = all_s > kth[:, None]
+        need = (take - gt.sum(axis=1, dtype=np.int64))[:, None]
+        eq = all_s == kth[:, None]
+        sel = gt | (eq & (np.cumsum(eq, axis=1, dtype=np.int32) <= need))
+        best_s = all_s[sel].reshape(nq, take)
+        best_i = all_i[sel].reshape(nq, take)
     # emit in rank order (score desc, id asc)
     order = np.argsort(-best_s, axis=1, kind="stable")
     return (
