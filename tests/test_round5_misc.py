@@ -127,3 +127,44 @@ def test_lsh_regimes_identical(spark, sf_dir):
     finally:
         sim.LSH_JOIN_MAX_CANDIDATES = saved
     assert join_rows == kern_rows
+
+
+def test_driver_contract_from_foreign_cwd():
+    """r5: an external driver builds its OWN SparkSession from an
+    arbitrary CWD (no repo on PYTHONPATH, session created BEFORE the
+    contract import — the worst launch shape). UDF-closure queries
+    must still run: ensure_worker_imports ships the package zip via
+    addPyFile when the JVM's env/cwd can't cover worker imports."""
+    import subprocess
+    import sys
+
+    prog = """
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.shuffle.partitions", "4").getOrCreate())
+import importlib.util
+spec = importlib.util.spec_from_file_location(
+    "__spark_entry__", "/root/repo/__spark_entry__.py")
+mod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(mod)
+n = mod.queries()["embedding_pq_topk"](
+    spark, "/root/testdata/sf0.001").count()
+assert n == 2500, n
+print("FOREIGN_CWD_OK")
+spark.stop()
+"""
+    env = {
+        k: v
+        for k, v in __import__("os").environ.items()
+        if k != "PYTHONPATH"
+    }
+    out = subprocess.run(
+        [sys.executable, "-c", prog],
+        cwd="/tmp",
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert "FOREIGN_CWD_OK" in out.stdout, out.stderr[-2000:]
