@@ -449,3 +449,36 @@ def test_no_cartesian_anywhere_and_bnlj_only_where_documented(spark, sf_dir):
             offenders_bnlj.append(name)
     assert not offenders_cart, f"cartesian products in: {offenders_cart}"
     assert not offenders_bnlj, f"undocumented nested-loop joins in: {offenders_bnlj}"
+
+
+def test_lsh_kernel_regime_plan_shape(spark, sf_dir):
+    """r5b: the kernel regime (forced via LSH_JOIN_MAX_CANDIDATES=0)
+    must NOT materialize the candidate multiset through a distinct —
+    no aggregate-style dedup exchange before scoring. The only
+    exchange left is the ranking window's hashpartitioning on
+    query_id (the explode output joins nothing wide)."""
+    from udacity_capstone_data_engineering_spark.operators import (
+        similarity as sim,
+    )
+    from udacity_capstone_data_engineering_spark.sources.catalog import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    saved = sim.LSH_JOIN_MAX_CANDIDATES
+    try:
+        sim.LSH_JOIN_MAX_CANDIDATES = 0
+        df = sim.lsh_topk(emb, "vec_id", "embedding", dim=64, k=5)
+        df.collect()
+        plan = _plan(df)
+    finally:
+        sim.LSH_JOIN_MAX_CANDIDATES = saved
+    final = plan.split("== Initial Plan ==")[0]
+    # candidate dedup in the join regime shows up as a HashAggregate
+    # pair over (query_id, neighbor_id); the kernel needs none
+    assert "HashAggregate" not in final, final
+    n_shuffles = final.count("Exchange hashpartitioning")
+    assert n_shuffles <= 1, (
+        f"expected <=1 shuffle in kernel-regime final plan, saw "
+        f"{n_shuffles}:\n{final}"
+    )
