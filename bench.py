@@ -95,6 +95,9 @@ HEADLINE = [
     "rerank_two_stage_ann",
     "profile_orders_approx",
     "embedding_ivfpq_topk",
+    # round 5: TPC-H set completed (Q2 correlated-min, Q6 scan floor)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q6_revenue_forecast",
 ]
 
 

@@ -1080,3 +1080,172 @@ def tpch_q22_lapsed_customers(spark, sf_dir):
         .cast("double")
         .alias("totacctbal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2: minimum-cost supplier (correlated MIN subquery over a derived
+# supply relation) and Q6: forecasting revenue change (pure scan-agg).
+# These close out the classic 22: Q1 is `pricing_summary`, Q3/Q5 live
+# in phase 4, Q4/Q7-Q22 above.
+# ---------------------------------------------------------------------------
+
+_Q2_SUPPLY_SQL = """
+    SELECT l_partkey, l_suppkey,
+           MIN(l_extendedprice / l_quantity) AS unit_cost
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+"""
+
+
+@_register(
+    "tpch_q2_min_cost_supplier",
+    f"""
+    WITH supply AS ({_Q2_SUPPLY_SQL}),
+    eligible AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name,
+             sp.l_partkey, sp.unit_cost
+      FROM supply sp
+      JOIN supplier s ON sp.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name,
+           p.p_partkey, p.p_name, e.unit_cost, e.s_suppkey
+    FROM eligible e
+    JOIN part p ON e.l_partkey = p.p_partkey
+    WHERE p.p_type = 'PROMO' AND p.p_size BETWEEN 10 AND 30
+      AND e.unit_cost = (SELECT MIN(e2.unit_cost) FROM eligible e2
+                         WHERE e2.l_partkey = e.l_partkey)
+    ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey,
+             e.s_suppkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier): for each PROMO part in
+    a size band, the EUROPE supplier(s) offering it at the lowest unit
+    cost, ranked by account balance. No ``partsupp`` table, so the
+    supply relation derives from observed trade: per (partkey,
+    suppkey), MIN(l_extendedprice / l_quantity) — one shuffle that
+    produces a partsupp-sized (not lineitem-sized) intermediate, built
+    from a 4-column pruned scan.
+
+    The correlated MIN subquery decorrelates into a window: after the
+    region-filtered supplier/nation/region dimension chain joins in
+    (nation and region are fixed-size -> hint-broadcast; supplier
+    SCALES with the data, so it gets no hint — AQE broadcasts it at
+    test SF, a shuffle join at 100 TB), one hashpartitioning exchange
+    on l_partkey feeds MIN() OVER (PARTITION BY l_partkey) and the
+    tie-keeping equality filter — identical tie semantics to the
+    textbook correlated subquery, one exchange instead of the
+    decorrelated join's two. Unit-cost doubles are a division and a
+    MIN of the same IEEE inputs on both engines, so the equality and
+    the final hash match exactly. The part filter (type + size band)
+    pushes into the parquet scan; final top-100 is
+    TakeOrderedAndProject with a unique (.., p_partkey, s_suppkey)
+    tiebreak, never a global sort.
+
+    Reference parity: completes the 22-query decision-support catalog
+    whose Q1-shape the reference's notebook aggregates echo
+    (etl.py:300-334 group-agg tier)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "unit_cost"
+        )
+    )
+    nations_eu = (
+        load_table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").filter(
+                    F.col("r_name") == "EUROPE"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp_eu = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nations_eu),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eligible = supply.join(
+        supp_eu, supply.l_suppkey == supp_eu.s_suppkey
+    ).select(
+        "s_acctbal", "s_name", "n_name", "l_partkey", "unit_cost",
+        "s_suppkey",
+    )
+    w_part = Window.partitionBy("l_partkey")
+    cheapest = eligible.withColumn(
+        "min_cost", F.min("unit_cost").over(w_part)
+    ).filter(F.col("unit_cost") == F.col("min_cost"))
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_type") == "PROMO")
+            & F.col("p_size").between(10, 30)
+        )
+        .select("p_partkey", "p_name")
+    )
+    return (
+        cheapest.join(part, cheapest.l_partkey == part.p_partkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            "unit_cost", "s_suppkey",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey",
+            "s_suppkey",
+        )
+        .limit(100)
+    )
+
+
+@_register(
+    "tpch_q6_revenue_forecast",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_revenue_forecast(spark, sf_dir):
+    """TPC-H Q6 shape (forecasting revenue change): the pure
+    scan-filter-aggregate — revenue that would have been kept had
+    mid-band discounts on small orders been eliminated. All three
+    predicates and the 4-column projection push into the parquet scan
+    (PushedFilters on shipdate/discount/quantity), the product is
+    summed in an exact DECIMAL lattice map-side-first (one partial +
+    one 1-row final exchange, no other shuffle), and the whole thing
+    stays in one WholeStageCodegen span. This is the query shape whose
+    100 TB cost is pure I/O — the engine's floor — and the bench row
+    to compare any scan-layer change against."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+            & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(3,2)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
