@@ -126,6 +126,17 @@ PICK = {
         "key, null-safe column comparisons, unchanged rows filtered "
         "before anything downstream."
     ),
+    "tpch_q2_min_cost_supplier": (
+        "Correlated MIN decorrelated to a window: partsupp-sized "
+        "supply aggregate (one shuffle), fixed dims broadcast, one "
+        "hashpartitioning on partkey feeds MIN OVER + tie-keeping "
+        "equality, TakeOrderedAndProject top-100."
+    ),
+    "tpch_q6_revenue_forecast": (
+        "The scan floor: all three predicates pushed to parquet, "
+        "4-column ReadSchema, exact DECIMAL partial+final aggregate, "
+        "zero wide shuffles, one WholeStageCodegen span."
+    ),
 }
 
 HEADER = """# PLANS — physical plans of headline queries (sf0.01, AQE on)
