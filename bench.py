@@ -98,6 +98,8 @@ HEADLINE = [
     # round 5: TPC-H set completed (Q2 correlated-min, Q6 scan floor)
     "tpch_q2_min_cost_supplier",
     "tpch_q6_revenue_forecast",
+    # round 5: z-order clustered at-rest layout
+    "zorder_layout_roundtrip",
 ]
 
 

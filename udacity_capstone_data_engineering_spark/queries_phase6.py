@@ -885,3 +885,66 @@ def partitioned_catalog_roundtrip(spark, sf_dir):
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
         ).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustered at-rest layout (round 5; operators/layout.py)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "zorder_layout_roundtrip",
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+      AND value BETWEEN 100 AND 200
+    GROUP BY event_type
+    """,
+)
+def zorder_layout_roundtrip(spark, sf_dir):
+    """Z-order clustered rewrite under the oracle gate, end to end:
+    rewrite events Morton-clustered on (ts, value) — the two columns
+    analytical scans range-filter TOGETHER, which no single sort order
+    can serve — read the clustered copy back, apply the two-sided
+    range predicate, aggregate. The oracle runs the same predicate on
+    the flat source, so a layout that dropped, duplicated, or mangled
+    rows (e.g. a non-bijective z-key projection or a lossy timestamp
+    round-trip) hash-mismatches. The layout itself is what makes the
+    scan cheap at 100 TB: every output file holds a contiguous curve
+    segment (compact per-file ts x value hyper-rectangle), rows inside
+    are z-sorted, so parquet row-group min/max statistics skip
+    non-matching groups on BOTH dimensions — clustering quality and
+    actual file-skipping are asserted in ``tests/test_layout.py``."""
+    import tempfile
+
+    from udacity_capstone_data_engineering_spark.operators.layout import (
+        write_zordered,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="spark_zorder_")
+    path = write_zordered(
+        ev, ["ts", "value"], base, "events_z", bits=8, n_files=8
+    )
+    back = spark.read.parquet(path)
+    lo = F.lit("2024-01-08 00:00:00").cast("timestamp")
+    hi = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    return (
+        back.filter(
+            (F.col("ts") >= lo)
+            & (F.col("ts") < hi)
+            & F.col("value").between(100, 200)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"),
+                2,
+            ).alias("total_value"),
+        )
+    )
