@@ -100,6 +100,8 @@ HEADLINE = [
     "tpch_q6_revenue_forecast",
     # round 5: z-order clustered at-rest layout
     "zorder_layout_roundtrip",
+    # round 5: Misra-Gries vocabulary heavy hitters
+    "token_heavy_hitters",
 ]
 
 

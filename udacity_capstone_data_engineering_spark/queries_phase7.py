@@ -439,3 +439,54 @@ def rerank_two_stage_ann(spark, sf_dir):
     sf1 probe's 20k row, mirroring how the other ANN rows are gated
     through ``ann_recall_report``."""
     return _rerank_pipeline(spark, sf_dir, stage1="lsh")
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary heavy hitters (round 5; operators/heavy_hitters.py)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "token_heavy_hitters",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_TOKENS_SQL}) AS item FROM documents
+    ), nn AS (
+      SELECT item FROM toks WHERE item IS NOT NULL AND item <> ''
+    ), tot AS (SELECT COUNT(*) AS n_total FROM nn)
+    SELECT nn.item, COUNT(*) AS est_count, COUNT(*) AS max_count,
+           MAX(tot.n_total) AS n_total
+    FROM nn CROSS JOIN tot
+    GROUP BY nn.item
+    HAVING COUNT(*) > 0.02 * MAX(tot.n_total)
+    """,
+)
+def token_heavy_hitters(spark, sf_dir):
+    """Corpus vocabulary heavy hitters via a Misra-Gries mergeable
+    summary (``operators/heavy_hitters.py``): which tokens exceed 2%
+    of all token occurrences — the stopword/boilerplate discovery pass
+    a corpus pipeline runs before quality scoring, over a key space
+    that at 100 TB is hundreds of millions of distinct tokens.  The
+    sketch keeps k counters per partition (mapInPandas, O(k) state,
+    one pass), merges <=P*k partial rows, and never shuffles one row
+    per distinct key — ``groupBy(token).count()``'s fatal cost at that
+    cardinality.
+
+    Oracle regime: k=4096 far exceeds this corpus's distinct-token
+    count, so no compress ever fires, the decrement total D is 0, and
+    est_count == max_count == the exact count — byte-equal to the
+    GROUP BY/HAVING oracle (that equality itself is part of what the
+    hash pins).  The adversarial regime (k << distinct, forced
+    compressions, zipf data) is covered by
+    ``tests/test_heavy_hitters.py``: guaranteed recall of every item
+    with true count > phi*n + D, and est <= true <= est + D against
+    exact counts."""
+    from udacity_capstone_data_engineering_spark.operators.heavy_hitters import (
+        heavy_hitters,
+    )
+
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("item")
+    ).filter(F.col("item") != "")
+    return heavy_hitters(toks, "item", k=4096, phi=0.02)
