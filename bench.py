@@ -102,6 +102,8 @@ HEADLINE = [
     "zorder_layout_roundtrip",
     # round 5: Misra-Gries vocabulary heavy hitters
     "token_heavy_hitters",
+    # round 5: leakage-safe split (dedup clusters + portable hash split)
+    "leakage_safe_split",
 ]
 
 

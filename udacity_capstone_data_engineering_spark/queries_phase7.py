@@ -490,3 +490,130 @@ def token_heavy_hitters(spark, sf_dir):
         F.explode(tokens(F.lower(F.col("text")))).alias("item")
     ).filter(F.col("item") != "")
     return heavy_hitters(toks, "item", k=4096, phi=0.02)
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/valid/test split (round 5): split by DEDUP CLUSTER
+# ---------------------------------------------------------------------------
+
+
+def _leakage_safe_split_sql() -> str:
+    from udacity_capstone_data_engineering_spark.operators.sampling import (
+        hash_split_case_sql,
+    )
+    from udacity_capstone_data_engineering_spark.queries import (
+        _NEAR_DUP_CTES,
+        NEAR_DUP_THRESHOLD,
+    )
+
+    case = hash_split_case_sql(
+        "component", {"train": 0.8, "valid": 0.1, "test": 0.1}, seed=0
+    )
+    return f"""
+    WITH RECURSIVE {_NEAR_DUP_CTES},
+    good AS (SELECT id_a, id_b FROM jp WHERE jaccard >= {NEAR_DUP_THRESHOLD}),
+    bidir AS (SELECT id_a AS a, id_b AS b FROM good
+              UNION SELECT id_b, id_a FROM good),
+    walk(node, label) AS (
+        SELECT a AS node, a AS label FROM bidir
+        UNION
+        SELECT w.node, e.b AS label FROM walk w JOIN bidir e ON w.label = e.a),
+    comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node),
+    labeled AS (
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+    assigned AS (
+        SELECT doc_id, component, {case} AS split FROM labeled),
+    per AS (
+        SELECT split, COUNT(*) AS n_docs,
+               COUNT(DISTINCT component) AS n_clusters
+        FROM assigned GROUP BY split),
+    leaks AS (
+        SELECT sa.split AS split, COUNT(*) AS cross_split_pairs
+        FROM good
+        JOIN assigned sa ON good.id_a = sa.doc_id
+        JOIN assigned sb ON good.id_b = sb.doc_id
+        WHERE sa.split <> sb.split GROUP BY sa.split)
+    SELECT per.split, per.n_docs, per.n_clusters,
+           CAST(COALESCE(leaks.cross_split_pairs, 0) AS BIGINT)
+               AS cross_split_pairs
+    FROM per LEFT JOIN leaks ON per.split = leaks.split
+    """
+
+
+@_register("leakage_safe_split", _leakage_safe_split_sql())
+def leakage_safe_split(spark, sf_dir):
+    """Train/valid/test assignment that cannot leak near-duplicates
+    across splits: hash-split by DEDUP COMPONENT, not by document.
+    Splitting by doc id puts the two halves of a near-dup pair in
+    train and test with probability 2*p*(1-p) each — the classic
+    eval-contamination bug; keying the portable md5 hash-split on the
+    connected-component representative makes every near-dup cluster
+    land whole in one split BY CONSTRUCTION. The output's
+    ``cross_split_pairs`` column audits exactly that (edges whose
+    endpoints disagree on split — structurally 0), alongside per-split
+    doc and cluster counts; the oracle recomputes components with the
+    recursive CTE and the same portable hash CASE, so the zero is
+    verified, not asserted.
+
+    Scale shape: reuses the LSH candidate path (no corpus self-join),
+    component propagation on the edge list (O(diameter) rounds), a
+    pure per-row hash CASE for assignment (no shuffle), and edge-keyed
+    equi-joins for the audit. At 100 TB the added cost over plain
+    splitting is just the dedup pass a training pipeline runs
+    anyway."""
+    from udacity_capstone_data_engineering_spark.operators.clusters import (
+        dedup_groups,
+    )
+    from udacity_capstone_data_engineering_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from udacity_capstone_data_engineering_spark.operators.sampling import (
+        hash_split,
+    )
+    from udacity_capstone_data_engineering_spark.queries import (
+        NEAR_DUP_THRESHOLD,
+    )
+
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(
+        docs, "text", "doc_id", num_hashes=16, shingle_k=5
+    )
+    cands = lsh_candidate_pairs(sigs, "doc_id", bands=4)
+    edges = jaccard_pairs(docs, "text", "doc_id", cands, shingle_k=5).filter(
+        F.col("jaccard") >= NEAR_DUP_THRESHOLD
+    )
+    groups = dedup_groups(docs, "doc_id", edges)
+    assigned = hash_split(
+        groups,
+        "component",
+        {"train": 0.8, "valid": 0.1, "test": 0.1},
+        seed=0,
+    )
+    per = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("component").alias("n_clusters"),
+    )
+    sa = assigned.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    sb = assigned.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    leaks = (
+        edges.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .groupBy(F.col("split_a").alias("split"))
+        .agg(F.count(F.lit(1)).alias("cross_split_pairs"))
+    )
+    return per.join(leaks, "split", "left").select(
+        "split",
+        "n_docs",
+        "n_clusters",
+        F.coalesce(F.col("cross_split_pairs"), F.lit(0))
+        .cast("long")
+        .alias("cross_split_pairs"),
+    )
