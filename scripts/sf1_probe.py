@@ -336,6 +336,13 @@ REL_QUERIES = [
     "rfm_customer_segments",
     "customer_spend_gini",
     "parts_abc_pareto",
+    # round-5 additions: TPC-H closers, z-order rewrite, MG sketch,
+    # cluster-keyed split
+    "tpch_q2_min_cost_supplier",
+    "tpch_q6_revenue_forecast",
+    "zorder_layout_roundtrip",
+    "token_heavy_hitters",
+    "leakage_safe_split",
 ]
 
 
