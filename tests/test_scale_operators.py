@@ -184,3 +184,74 @@ def test_minhash_lsh_recall_vs_true_jaccard(spark, sf_dir):
     }
     recall = len(true_pairs & got) / len(true_pairs)
     assert recall >= 0.8, f"banding recall vs true Jaccard: {recall}"
+
+
+def test_streaming_heavy_hitters_state_across_batches(spark, tmp_path):
+    """Key-space-sharded streaming Misra-Gries: state carries across
+    micro-batches (maxFilesPerTrigger=1 forces two), per-shard bounds
+    hold against exact counts, and the sharding routes each item to
+    exactly one shard."""
+    from udacity_capstone_data_engineering_spark.streaming.stateful import (
+        heavy_hitters_stream,
+    )
+
+    # skewed stream: 'hot' dominates, spread over two files/batches
+    b1 = [("hot",)] * 30 + [(f"c{i}",) for i in range(12)]
+    b2 = [("hot",)] * 25 + [("warm",)] * 15 + [(f"d{i}",) for i in range(12)]
+    src = tmp_path / "hh_src"
+    spark.createDataFrame(b1, "item string").coalesce(1).write.parquet(
+        str(src / "f1.parquet")
+    )
+    spark.createDataFrame(b2, "item string").coalesce(1).write.parquet(
+        str(src / "f2.parquet")
+    )
+
+    stream = (
+        spark.readStream.schema("item string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    out = heavy_hitters_stream(stream, col="item", k=4, n_shards=2)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hh_stream_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM hh_stream_test").collect()
+    assert rows
+    # multiple batches actually ran: some shard reported twice with
+    # growing n_shard
+    per_shard_ns = {}
+    for r in rows:
+        per_shard_ns.setdefault(r.shard, set()).add(r.n_shard)
+    assert any(len(ns) > 1 for ns in per_shard_ns.values()), per_shard_ns
+    # latest summary per (shard, item) = the row at that shard's max n
+    latest_n = {s: max(ns) for s, ns in per_shard_ns.items()}
+    final = {
+        r.item: r
+        for r in rows
+        if r.n_shard == latest_n[r.shard]
+    }
+    # each item appears in exactly one shard across ALL emitted rows
+    shards_per_item = {}
+    for r in rows:
+        shards_per_item.setdefault(r.item, set()).add(r.shard)
+    assert all(len(s) == 1 for s in shards_per_item.values())
+    # bounds against exact counts, per item's shard
+    exact = {}
+    for it, in b1 + b2:
+        exact[it] = exact.get(it, 0) + 1
+    n_total = sum(exact.values())
+    for item, r in final.items():
+        true = exact[item]
+        assert r.est_count <= true <= r.est_count + r.dec_total, (
+            item,
+            dict(r.asDict()),
+        )
+    # the dominant key must survive compression and be identifiable
+    assert "hot" in final
+    hot = final["hot"]
+    assert hot.est_count + hot.dec_total > 0.3 * n_total

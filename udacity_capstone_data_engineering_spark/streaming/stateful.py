@@ -14,6 +14,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 SESSION_SCHEMA = "user_id long, n_events long, n_sessions long"
@@ -130,4 +131,91 @@ def running_totals_stream(events: DataFrame, key_col: str = "user_id",
         outputStructType=f"{key_col} long, n long, total double",
         outputMode="Update",
         timeMode="None",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters: key-space-sharded Misra-Gries state (round 5)
+# ---------------------------------------------------------------------------
+
+HH_OUT_SCHEMA = (
+    "shard int, item string, est_count long, dec_total long, n_shard long"
+)
+HH_STATE_SCHEMA = (
+    "items array<string>, counts array<long>, dec long, n long"
+)
+
+
+def _hh_fn(k: int):
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (shard,) = key
+        if state.exists:
+            items, counts, dec, n = state.get
+            counters = dict(zip(items, counts))
+        else:
+            counters, dec, n = {}, 0, 0
+        for pdf in pdfs:
+            n += len(pdf)
+            for item, w in pdf["item"].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(w)
+            if len(counters) > k:
+                m = sorted(counters.values(), reverse=True)[k]
+                dec += m
+                counters = {
+                    i: c - m for i, c in counters.items() if c - m > 0
+                }
+        state.update(
+            (list(counters.keys()), list(counters.values()), dec, n)
+        )
+        yield pd.DataFrame(
+            {
+                "shard": [shard] * len(counters),
+                "item": list(counters.keys()),
+                "est_count": list(counters.values()),
+                "dec_total": [dec] * len(counters),
+                "n_shard": [n] * len(counters),
+            }
+        )
+
+    return update
+
+
+def heavy_hitters_stream(
+    rows: DataFrame, col: str = "item", k: int = 64, n_shards: int = 8
+) -> DataFrame:
+    """Streaming Misra-Gries: per-SHARD k-counter summaries kept in
+    ``applyInPandasWithState`` across micro-batches.
+
+    The batch operator (``operators/heavy_hitters.py``) shards by
+    PARTITION and merges with a bounded decrement total; a stream has
+    no stable partitioning, so this formulation shards the KEY SPACE
+    instead: ``xxhash64(item) % n_shards`` routes every occurrence of
+    an item to exactly one shard, making shard summaries disjoint —
+    no cross-shard merge and no merge error. Per shard the classical
+    bounds hold per micro-batch-prefix: est <= true <= est + dec with
+    dec <= n_shard/(k+1); an item is a global phi-heavy hitter only
+    if est + dec > phi * sum(n_shard) over its own shard's summary.
+
+    Scale shape: state is O(k) per shard (two arrays + two longs),
+    the shuffle is on the shard id — n_shards bounds parallelism AND
+    state size regardless of key cardinality; k * n_shards counters
+    stand in for a distinct-key-sized streaming aggregation. Emits
+    the full shard summary each batch (update mode): downstream
+    consumers take the latest row per (shard, item) — ``n_shard`` is
+    monotone per shard, so "latest" is selectable without a batch id.
+    """
+    keyed = rows.filter(F.col(col).isNotNull()).select(
+        F.pmod(F.xxhash64(F.col(col).cast("string")), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+        F.col(col).cast("string").alias("item"),
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        _hh_fn(k),
+        outputStructType=HH_OUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
