@@ -101,7 +101,7 @@ HEADLINE = [
     # round 5: z-order clustered at-rest layout
     "zorder_layout_roundtrip",
     # round 5: Misra-Gries vocabulary heavy hitters
-    "token_heavy_hitters",
+    "token_heavy_hitters_mg",
     # round 5: leakage-safe split (dedup clusters + portable hash split)
     "leakage_safe_split",
 ]

@@ -341,7 +341,7 @@ REL_QUERIES = [
     "tpch_q2_min_cost_supplier",
     "tpch_q6_revenue_forecast",
     "zorder_layout_roundtrip",
-    "token_heavy_hitters",
+    "token_heavy_hitters_mg",
     "leakage_safe_split",
 ]
 

@@ -1,6 +1,6 @@
 """Misra-Gries heavy hitters (operators/heavy_hitters.py).
 
-The oracle-paired catalog row (``token_heavy_hitters``) pins the
+The oracle-paired catalog row (``token_heavy_hitters_mg``) pins the
 exact regime (k above the distinct count, D = 0).  These tests pin
 the regime the sketch exists for: k far below the distinct count,
 compressions firing, and the classical guarantees still holding

@@ -78,7 +78,7 @@ def test_no_python_udfs_in_relational_tier(spark, sf_dir):
         "embedding_ivfpq_topk", # cell-filtered ADC scan
         "ann_recall_report",    # composes the ANN queries above
         "rerank_two_stage_ann", # LSH stage-1 (batch matmul bucketing)
-        "token_heavy_hitters",  # Misra-Gries mapInPandas partials
+        "token_heavy_hitters_mg",  # Misra-Gries mapInPandas partials
     }
     for name, fn in QUERIES.items():
         if name in declared_arrow:
@@ -443,7 +443,7 @@ def test_no_cartesian_anywhere_and_bnlj_only_where_documented(spark, sf_dir):
         # r5: 1-row broadcasts — the z-order fence aggregate and the
         # Misra-Gries (n, D) totals
         "zorder_layout_roundtrip",
-        "token_heavy_hitters",
+        "token_heavy_hitters_mg",
     }
     offenders_cart, offenders_bnlj = [], []
     for name, (fn, _) in sorted(_REGISTRY.items()):

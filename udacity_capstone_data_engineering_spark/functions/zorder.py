@@ -19,6 +19,26 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def morton_interleave(cols, bits: int) -> Column:
+    """m-ary Morton interleave: bit ``i`` of column ``j`` lands at
+    position ``i * m + j`` (column 0 = even bits in the 2-D case).
+    Inputs must already be non-negative ``bits``-bit ints — callers
+    mask/quantize first.  Shared by :func:`morton_code` (raw 2-D
+    expression, oracle-twinned) and the managed clustered-write path
+    (``operators/layout.py``), so both tiers produce one curve
+    convention.  Pure expression tree: 2 * bits * m JVM ops."""
+    m = len(cols)
+    z: Column = F.lit(0).cast("bigint")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(c, i).bitwiseAND(F.lit(1)), i * m + j
+                )
+            )
+    return z
+
+
 def morton_code(x: Column | str, y: Column | str, bits: int = 16) -> Column:
     """Interleave the low ``bits`` of two non-negative ints into a
     2*bits-bit Z-value: result bit 2i = bit i of x, bit 2i+1 = bit i of
@@ -31,14 +51,7 @@ def morton_code(x: Column | str, y: Column | str, bits: int = 16) -> Column:
     mask = (1 << bits) - 1
     cx = cx.bitwiseAND(F.lit(mask))
     cy = cy.bitwiseAND(F.lit(mask))
-    z = F.lit(0).cast("bigint")
-    for i in range(bits):
-        z = z.bitwiseOR(
-            F.shiftleft(F.shiftright(cx, i).bitwiseAND(F.lit(1)), 2 * i)
-        ).bitwiseOR(
-            F.shiftleft(F.shiftright(cy, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
-    return z
+    return morton_interleave([cx, cy], bits)
 
 
 def morton_code_sql(x_expr: str, y_expr: str, bits: int = 16) -> str:

@@ -18,9 +18,10 @@ built here from plain DataFrame ops:
      aggregate broadcast-cross-joined back — same structural-agreement
      pattern as ``operators/ranking.py`` (no job at plan time; one
      BroadcastExchange reused by every consumer).
-  2. A JVM-side bit-interleave of the bucket ids (pure
-     shiftleft/bitwiseAND expression tree — whole-stage codegen, no
-     UDF).
+  2. A JVM-side bit-interleave of the bucket ids
+     (``functions/zorder.morton_interleave`` — the same curve
+     convention as the raw oracle-twinned ``morton_code`` tier; pure
+     expression tree, whole-stage codegen, no UDF).
   3. ``repartitionByRange`` on the z-key (contiguous curve segments
      per output file) + ``sortWithinPartitions`` (contiguous segments
      per ROW GROUP within each file), then a plain parquet write.
@@ -30,6 +31,13 @@ rewrite needs anyway; fences are a 1-row aggregate.  Readers need no
 special support — pushed range predicates on the clustered columns
 skip row groups through ordinary parquet statistics filtering
 (asserted file-level in ``tests/test_layout.py``).
+
+Two tiers share one curve: ``functions/zorder.py`` holds the raw 2-D
+``morton_code`` expression over caller-quantized ints (oracle-twinned
+via ``zorder_layout_keys``); this module is the MANAGED write path —
+N columns, arbitrary orderable types, skew-robust equi-depth
+quantile bucketing, and the range-partitioned sorted write — built on
+the same ``morton_interleave``.
 
 Reference parity: the reference stopped at flat snappy parquet
 (etl.py:56,87,130,180,225,264); this is the engine's extension tier,
@@ -44,6 +52,9 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from udacity_capstone_data_engineering_spark.functions.zorder import (
+    morton_interleave,
+)
 from udacity_capstone_data_engineering_spark.operators.ranking import (
     _key_as_double,
 )
@@ -52,19 +63,6 @@ from udacity_capstone_data_engineering_spark.sources.sinks import (
 )
 
 Z_COL = "__z_key"
-
-
-def _interleave(bucket_cols: Sequence[Column], bits: int) -> Column:
-    """Morton-interleave ``bits``-bit bucket ids, lowest bits first
-    (bit i of column j lands at position ``i * m + j``).  Expression
-    tree only — 2 * bits * m JVM ops, no Python."""
-    m = len(bucket_cols)
-    z: Column = F.lit(0).cast("long")
-    for i in range(bits):
-        for j, b in enumerate(bucket_cols):
-            bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
-            z = z.bitwiseOR(F.shiftleft(bit, i * m + j))
-    return z
 
 
 def with_zorder_key(
@@ -111,7 +109,7 @@ def with_zorder_key(
         )
     return (
         df.crossJoin(F.broadcast(fence_row))
-        .withColumn(out_col, _interleave(buckets, bits))
+        .withColumn(out_col, morton_interleave(buckets, bits))
         .drop(*fence_aliases)
     )
 

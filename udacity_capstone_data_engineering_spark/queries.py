@@ -110,6 +110,12 @@ def _register(name: str, oracle: str | None):
             ensure_worker_imports(spark)
             return fn(spark, sf_dir)
 
+        # A duplicate name would silently REPLACE an existing catalog
+        # entry (and its oracle) — exactly how round 5's MG sketch
+        # briefly shadowed the exact token_heavy_hitters query. Fail
+        # loudly at import instead.
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query registration: {name!r}")
         _REGISTRY[name] = (wrapped, oracle)
         return wrapped
 

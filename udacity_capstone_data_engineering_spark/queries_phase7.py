@@ -447,7 +447,7 @@ def rerank_two_stage_ann(spark, sf_dir):
 
 
 @_register(
-    "token_heavy_hitters",
+    "token_heavy_hitters_mg",
     f"""
     WITH toks AS (
       SELECT unnest({_TOKENS_SQL}) AS item FROM documents
@@ -461,7 +461,7 @@ def rerank_two_stage_ann(spark, sf_dir):
     HAVING COUNT(*) > 0.02 * MAX(tot.n_total)
     """,
 )
-def token_heavy_hitters(spark, sf_dir):
+def token_heavy_hitters_mg(spark, sf_dir):
     """Corpus vocabulary heavy hitters via a Misra-Gries mergeable
     summary (``operators/heavy_hitters.py``): which tokens exceed 2%
     of all token occurrences — the stopword/boilerplate discovery pass
