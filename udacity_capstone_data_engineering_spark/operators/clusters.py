@@ -34,10 +34,17 @@ def connected_components(
     """(node, component) for every node in the edge list; component =
     min node id reachable. Nodes not in any pair are not emitted
     (callers union-in singletons if they need full coverage)."""
+    # Persist the directed edge list: it is joined EVERY propagation
+    # round (and labels are seeded from it), but its lineage is the
+    # caller's whole pair-detection chain (minhash -> LSH -> jaccard
+    # for dedup) — without the persist each round re-runs that chain,
+    # because exchange reuse does not span the loop's separate jobs.
+    # The edge list itself is ≪ corpus (near-dup pairs only).
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
         .distinct()
+        .persist()
     )
     labels = edges.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("component")

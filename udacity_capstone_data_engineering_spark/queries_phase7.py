@@ -585,13 +585,18 @@ def leakage_safe_split(spark, sf_dir):
     edges = jaccard_pairs(docs, "text", "doc_id", cands, shingle_k=5).filter(
         F.col("jaccard") >= NEAR_DUP_THRESHOLD
     )
+    # The audit fans three branches off the assignment (per-split
+    # aggregate + both endpoint lookups); persisting the doc-sized
+    # (id, component, split) relation keeps the dedup chain to one
+    # evaluation (same shared-aggregate pattern as tpch_q11).
+    edges = edges.persist()
     groups = dedup_groups(docs, "doc_id", edges)
     assigned = hash_split(
         groups,
         "component",
         {"train": 0.8, "valid": 0.1, "test": 0.1},
         seed=0,
-    )
+    ).persist()
     per = assigned.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("component").alias("n_clusters"),
