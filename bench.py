@@ -104,6 +104,8 @@ HEADLINE = [
     "token_heavy_hitters_mg",
     # round 5: leakage-safe split (dedup clusters + portable hash split)
     "leakage_safe_split",
+    # round 5: exact-integer PageRank on the co-purchase graph
+    "copurchase_pagerank",
 ]
 
 

@@ -343,6 +343,7 @@ REL_QUERIES = [
     "zorder_layout_roundtrip",
     "token_heavy_hitters_mg",
     "leakage_safe_split",
+    "copurchase_pagerank",
 ]
 
 

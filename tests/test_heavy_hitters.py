@@ -112,3 +112,54 @@ def test_nulls_ignored_and_type_gate(spark):
     bad = spark.createDataFrame([(1.5,)], "item double")
     with pytest.raises(TypeError, match="misra-gries"):
         heavy_hitters(bad, "item", k=10)
+
+
+# ---------------------------------------------------------------------------
+# Integer PageRank (operators/clusters.pagerank_fixed) — shares this
+# module's theme: exact arithmetic making approximate-algorithm classes
+# hash-gateable.
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_python(edges, iters, scale):
+    """Pure-Python replay of the integer recurrence."""
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    pr = {n: scale for n in deg}
+    base = (3 * scale) // 20
+    for _ in range(iters):
+        s_in = defaultdict(int)
+        for s, d in edges:
+            s_in[d] += pr[s] // deg[s]
+        pr = {n: base + (17 * s_in.get(n, 0)) // 20 for n in deg}
+    return pr
+
+
+def test_pagerank_fixed_matches_python_replay(spark):
+    from udacity_capstone_data_engineering_spark.operators.clusters import (
+        pagerank_fixed,
+    )
+
+    # star (hub 1) + a 3-cycle + a chord, symmetrized
+    und = [(1, 2), (1, 3), (1, 4), (1, 5), (2, 3), (3, 4)]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(7)
+    got = {
+        r["node"]: r["pr_mass"]
+        for r in pagerank_fixed(df, iterations=4, mass_scale=10**12).collect()
+    }
+    want = _pagerank_python(edges, 4, 10**12)
+    assert got == want
+    # hub dominates every leaf
+    assert got[1] == max(got.values())
+    # repartition-invariance (bit-equal, not approximately)
+    got2 = {
+        r["node"]: r["pr_mass"]
+        for r in pagerank_fixed(
+            df.repartition(2), iterations=4, mass_scale=10**12
+        ).collect()
+    }
+    assert got2 == got

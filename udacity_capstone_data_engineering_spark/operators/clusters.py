@@ -106,3 +106,70 @@ def dedup_groups(
     return out.withColumn(
         "is_representative", F.col(id_col) == F.col("component")
     )
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    iterations: int = 5,
+    mass_scale: int = 1_000_000_000_000,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank in EXACT integer arithmetic:
+    ``(node, pr_mass)`` after ``iterations`` rounds of
+
+        pr'(v) = 0.15 * scale + floor(17 * S(v) / 20),
+        S(v)   = sum over in-edges (u, v) of floor(pr(u) / deg(u))
+
+    with every quantity a BIGINT multiple of ``1/mass_scale``.  Why
+    integers: float PageRank sums are order-dependent, so two engines
+    (or two shuffles) disagree in the last ulps and value-hash gates
+    break.  Integer division and integer sums are exact, associative,
+    and engine-identical — the fixpoint of the DETERMINISTIC recurrence
+    is bit-equal everywhere, which makes an iterative graph algorithm
+    oracle-pairable (the DuckDB twin unrolls the same recurrence).
+    Damping 0.85 is the exact rational 17/20.
+
+    ``edges`` must be DIRECTED (symmetrize an undirected graph first);
+    every node must appear as a source (true after symmetrization).
+    Per-round cost: one join of the edge list against the |V|-sized
+    rank relation + one groupBy — the same scale shape as
+    ``connected_components``.  Lineage is cut per round.  Overflow
+    bound: 17 * total_mass must stay under 2^63 — total mass is
+    ~|V| * mass_scale, so at |V| ~ 1e9 drop ``mass_scale`` to 1e6
+    (precision is relative to mass_scale, not the graph)."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    pr = deg.select(
+        F.col("src").alias("node"),
+        F.lit(mass_scale).cast("long").alias("pr_mass"),
+    )
+    base = (3 * mass_scale) // 20  # 0.15 * scale, exact
+    for _ in range(iterations):
+        contribs = (
+            pr.join(deg, pr.node == deg.src)
+            .select(
+                F.col("node").alias("u"),
+                F.expr("pr_mass DIV deg").alias("m"),
+            )
+            .join(e, F.col("u") == e.src)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("m").alias("s"))
+        )
+        pr = (
+            deg.select(F.col("src").alias("node"))
+            .join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr("(17 * coalesce(s, CAST(0 AS BIGINT))) DIV 20")
+                ).alias("pr_mass"),
+            )
+        )
+        pr = pr.localCheckpoint(eager=False)
+    return pr

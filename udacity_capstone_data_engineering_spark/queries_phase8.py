@@ -1558,3 +1558,114 @@ def rfm_customer_segments(spark, sf_dir):
             F.col("m_score").cast("string"),
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph ranking: exact-integer PageRank (round 5)
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 5
+_PR_SCALE = 1_000_000_000_000
+
+
+def _pagerank_oracle_sql() -> str:
+    """Unrolled fixed-iteration integer PageRank over the co-purchase
+    graph: one CTE pair (contrib, pr) per round — same recurrence the
+    Spark operator runs, in BIGINT, so the fixpoint is bit-equal."""
+    base = (3 * _PR_SCALE) // 20
+    ctes = [
+        """
+    items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS c
+        FROM items a
+        JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2),
+    e AS (SELECT pa, pb FROM pairs WHERE c >= 2),
+    sym AS (SELECT pa AS src, pb AS dst FROM e
+            UNION ALL SELECT pb, pa FROM e),
+    deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY src),
+    pr0 AS (SELECT node, CAST({scale} AS BIGINT) AS pr_mass FROM deg)
+        """.format(scale=_PR_SCALE)
+    ]
+    for i in range(_PR_ITERS):
+        ctes.append(
+            """
+    c{n} AS (
+        SELECT sym.dst AS node, SUM(p.pr_mass // d.deg) AS s
+        FROM pr{i} p
+        JOIN deg d ON p.node = d.node
+        JOIN sym ON sym.src = p.node
+        GROUP BY sym.dst),
+    pr{n} AS (
+        SELECT d.node,
+               CAST({base} + (17 * COALESCE(c.s, 0)) // 20 AS BIGINT)
+                   AS pr_mass
+        FROM deg d LEFT JOIN c{n} c ON d.node = c.node)
+            """.format(i=i, n=i + 1, base=base)
+        )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+    SELECT node AS part, pr_mass FROM pr{_PR_ITERS}
+    ORDER BY pr_mass DESC, node LIMIT 20
+    """
+    )
+
+
+@_register("copurchase_pagerank", _pagerank_oracle_sql())
+def copurchase_pagerank(spark, sf_dir):
+    """PageRank over the co-purchase graph (same support-≥2 edge set
+    as ``copurchase_graph_stats``), 5 damped rounds in EXACT INTEGER
+    arithmetic (``operators/clusters.pagerank_fixed``): rank mass is a
+    BIGINT multiple of 1e-12, contributions use integer division, and
+    damping is the exact rational 17/20 — so the result of the
+    iterative algorithm is bit-equal across engines, partitionings,
+    and shuffles, and a DuckDB oracle can replay the recurrence
+    unrolled. This is the determinism discipline the house applies to
+    money sums, extended to the one algorithm class (iterative graph
+    ranking) engines usually concede to floats.
+
+    Scale shape: per round one edge-list⋈rank join + one groupBy —
+    the ``connected_components`` shape; the edge list and degree
+    relation are persisted once, lineage cut per round. Top-20 by
+    (pr_mass DESC, part) is TakeOrderedAndProject with a unique
+    tiebreak."""
+    from udacity_capstone_data_engineering_spark.operators.clusters import (
+        pagerank_fixed,
+    )
+
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    sym = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    pr = pagerank_fixed(
+        sym, iterations=_PR_ITERS, mass_scale=_PR_SCALE
+    )
+    return (
+        pr.select(F.col("node").alias("part"), "pr_mass")
+        .orderBy(F.col("pr_mass").desc(), "part")
+        .limit(20)
+    )
