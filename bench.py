@@ -106,6 +106,8 @@ HEADLINE = [
     "leakage_safe_split",
     # round 5: exact-integer PageRank on the co-purchase graph
     "copurchase_pagerank",
+    # round 5e: Gopher repetition filters (dup lines / top 2-gram / dup 3-gram)
+    "doc_repetition_flags",
 ]
 
 

@@ -1,0 +1,39 @@
+"""Phase-9 query tier (round 5e): within-doc repetition filters,
+count-min sketch, inverted-index build, exact-integer k-means.
+
+Same contract as ``queries.py`` (imported at the end of that module so
+everything lands in one registry). House determinism rules apply:
+portable md5-derived hashing for oracle-reproducible hashes, integer
+arithmetic wherever an iterative fixpoint must hash-match the oracle,
+ROUND only after exact arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from udacity_capstone_data_engineering_spark.operators.repetition import (
+    repetition_flags,
+    repetition_flags_oracle_sql,
+)
+from udacity_capstone_data_engineering_spark.queries import _register
+from udacity_capstone_data_engineering_spark.sources.catalog import (
+    fan_out_small_scan,
+    load_table,
+)
+
+# ---------------------------------------------------------------------------
+# Text quality: Gopher repetition filters
+# ---------------------------------------------------------------------------
+
+
+@_register("doc_repetition_flags", repetition_flags_oracle_sql("documents"))
+def doc_repetition_flags(spark, sf_dir):
+    """Gopher repetition-rule flags (duplicate-line fraction/chars, top
+    2-gram char fraction, duplicated 3-gram char fraction) with the
+    combined keep decision — the second half of the standard LLM-corpus
+    quality gate (format rules live in ``gopher_quality_flags``).
+    Explode->groupBy branches shuffle only (doc_id, 60-bit hash) pairs;
+    all aggregation doc-keyed (``operators/repetition.py``)."""
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    return repetition_flags(docs, "text", "doc_id")
