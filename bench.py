@@ -108,6 +108,8 @@ HEADLINE = [
     "copurchase_pagerank",
     # round 5e: Gopher repetition filters (dup lines / top 2-gram / dup 3-gram)
     "doc_repetition_flags",
+    # round 5e: count-min frequency sketch over the corpus vocabulary
+    "token_countmin_sketch",
 ]
 
 

@@ -12,6 +12,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from udacity_capstone_data_engineering_spark.functions.text import tokens
+from udacity_capstone_data_engineering_spark.operators.countmin import (
+    countmin_sketch,
+    countmin_sketch_oracle_sql,
+)
 from udacity_capstone_data_engineering_spark.operators.repetition import (
     repetition_flags,
     repetition_flags_oracle_sql,
@@ -37,3 +42,28 @@ def doc_repetition_flags(spark, sf_dir):
     all aggregation doc-keyed (``operators/repetition.py``)."""
     docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     return repetition_flags(docs, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Sketches: count-min over the corpus vocabulary
+# ---------------------------------------------------------------------------
+
+_CMS_TOKENS_SRC = (
+    "SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+    "t -> t <> '')) AS k, 1 AS w FROM documents"
+)
+
+
+@_register("token_countmin_sketch", countmin_sketch_oracle_sql(_CMS_TOKENS_SRC))
+def token_countmin_sketch(spark, sf_dir):
+    """Count-min sketch of the corpus token frequencies: a (4 x 256)
+    counter grid answering point-frequency queries for any token with
+    one-sided additive error — the mergeable frequency summary that
+    complements Misra-Gries heavy hitters. Engine-portable seeded
+    hashing makes the grid bit-reproducible, so the sketch itself is
+    the hash-gated result (``operators/countmin.py``)."""
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.explode(F.filter(tokens(F.col("text")), lambda t: t != "")).alias("token")
+    )
+    return countmin_sketch(toks, "token")
