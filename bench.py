@@ -110,6 +110,8 @@ HEADLINE = [
     "doc_repetition_flags",
     # round 5e: count-min frequency sketch over the corpus vocabulary
     "token_countmin_sketch",
+    # round 5e: inverted-index build (df/cf + skew-bounded postings)
+    "inverted_index_postings",
 ]
 
 

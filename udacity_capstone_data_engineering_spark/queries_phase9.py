@@ -17,6 +17,10 @@ from udacity_capstone_data_engineering_spark.operators.countmin import (
     countmin_sketch,
     countmin_sketch_oracle_sql,
 )
+from udacity_capstone_data_engineering_spark.operators.inverted_index import (
+    inverted_index,
+    inverted_index_oracle_sql,
+)
 from udacity_capstone_data_engineering_spark.operators.repetition import (
     repetition_flags,
     repetition_flags_oracle_sql,
@@ -67,3 +71,28 @@ def token_countmin_sketch(spark, sf_dir):
         F.explode(F.filter(tokens(F.col("text")), lambda t: t != "")).alias("token")
     )
     return countmin_sketch(toks, "token")
+
+
+# ---------------------------------------------------------------------------
+# Retrieval: inverted-index build
+# ---------------------------------------------------------------------------
+
+_INDEX_OCC_SQL = (
+    "SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+    "t -> t <> '')) AS tok, doc_id AS doc FROM documents"
+)
+
+
+@_register("inverted_index_postings", inverted_index_oracle_sql(_INDEX_OCC_SQL))
+def inverted_index_postings(spark, sf_dir):
+    """Inverted index over the corpus: per token, document frequency,
+    collection frequency, and the posting list of the 8 smallest doc
+    ids — built with hash-keyed shuffles and a two-level min-K
+    tournament so no stopword ever owns a corpus-sized partition
+    (``operators/inverted_index.py``)."""
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    occ = docs.select(
+        F.col("doc_id"),
+        F.explode(F.filter(tokens(F.col("text")), lambda t: t != "")).alias("token"),
+    )
+    return inverted_index(occ, "token", "doc_id")
