@@ -112,6 +112,8 @@ HEADLINE = [
     "token_countmin_sketch",
     # round 5e: inverted-index build (df/cf + skew-bounded postings)
     "inverted_index_postings",
+    # round 5e: exact-integer Lloyd k-means over embeddings
+    "embedding_kmeans_int",
 ]
 
 

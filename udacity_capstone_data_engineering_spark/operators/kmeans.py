@@ -1,0 +1,188 @@
+"""Exact-integer Lloyd k-means: iterative ML under the value-hash gate.
+
+Second application of the PageRank pattern (`clusters.pagerank_fixed`):
+run a fixed number of iterations with every quantity an exact BIGINT,
+so the fixpoint of the recurrence is bit-equal across engines,
+partitionings, and shuffles — which lets an iterative ML algorithm
+carry a full DuckDB oracle (the recurrence unrolled as CTE blocks)
+instead of a weaker rows-only check.
+
+Recurrence (all integers):
+- quantize: qv[i] = floor(x[i] * scale + 1/2)  (floor-round; Spark
+  HALF_UP vs DuckDB half-even `round` never enters the picture)
+- init: centroids 0..k-1 are the quantized vectors of the k smallest
+  ids (deterministic, oracle-trivial)
+- assign: nearest centroid by integer squared L2; ties -> smallest
+  centroid id (strict-< argmin chain)
+- update: per dimension, floor(sum / count) (true floor division —
+  sums go negative; spelled pmod-style in the oracle so both engines
+  agree without float analysis); empty clusters keep their previous
+  centroid
+
+Scale shape — the MLlib KMeans layout, which IS the 100 TB design:
+centroids live on the driver (k x d integers, here 4 x 64) and enter
+the plan as broadcast literals; assignment is a MAP-ONLY zip_with/
+aggregate over the scan (no shuffle, no UDF); the update is one
+aggregate producing k rows x d sum columns with map-side partial
+combine, collected to the driver (k x d values — the canonical
+bounded collect, same class as the PQ fit sample). Per iteration:
+one job, shuffle bytes O(partitions * k * d). Construction is
+necessarily eager (an iterative fixpoint materializes per round, like
+``.fit()``); callers wanting pure plan inspection should use a single
+iteration.
+
+Overflow bound: |qv| <= scale * max|x|; dist <= d * (2 * scale *
+max|x|)^2 — at scale 1024, d 64, |x| <= 32 that is ~2.7e11, far
+under 2^63. Update sums are |n * scale * max|x|| — safe past 1e13
+rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from udacity_capstone_data_engineering_spark.functions.hashing import (  # noqa: F401  (house import parity)
+    portable_hash64,
+)
+
+K = 4
+ITERATIONS = 3
+SCALE = 1024
+
+
+def _quantize(vecs: DataFrame, id_col: str, vec_col: str, scale: int) -> DataFrame:
+    return vecs.select(
+        F.col(id_col).alias("vid"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
+        ).alias("qv"),
+    )
+
+
+def _assign(q: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """Map-only nearest-centroid assignment against literal centroids."""
+
+    def d2(cv: list[int]):
+        lit = F.array(*[F.lit(int(v)).cast("long") for v in cv])
+        return F.aggregate(
+            F.zip_with("qv", lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    out = q.select(
+        "vid", "qv", *[d2(cents[j]).alias(f"_d{j}") for j in range(len(cents))]
+    )
+    best_d = F.col("_d0")
+    best_c = F.lit(0)
+    for j in range(1, len(cents)):
+        better = F.col(f"_d{j}") < best_d
+        best_c = F.when(better, F.lit(j)).otherwise(best_c)
+        best_d = F.when(better, F.col(f"_d{j}")).otherwise(best_d)
+    return out.select(
+        "vid", "qv", best_c.alias("cluster"), best_d.alias("dist_sq")
+    )
+
+
+def kmeans_int(
+    vecs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = K,
+    iterations: int = ITERATIONS,
+    scale: int = SCALE,
+) -> DataFrame:
+    """Fixed-iteration integer Lloyd; returns the FINAL assignment
+    ``(vec_id, cluster, dist_sq)`` after ``iterations`` update rounds."""
+    q = _quantize(vecs, id_col, vec_col, scale).persist()
+    init = q.orderBy("vid").limit(k).collect()
+    cents = [list(r["qv"]) for r in init]
+    d = len(cents[0])
+    for _ in range(iterations):
+        assign = _assign(q, cents)
+        rows = assign.groupBy("cluster").agg(
+            F.count("*").alias("c"),
+            *[F.sum(F.element_at("qv", i + 1)).alias(f"s{i}") for i in range(d)],
+        ).collect()
+        by_cid = {r["cluster"]: r for r in rows}
+        for cid in range(k):
+            r = by_cid.get(cid)
+            if r is None or r["c"] == 0:
+                continue  # empty cluster keeps its previous centroid
+            cents[cid] = [r[f"s{i}"] // r["c"] for i in range(d)]
+    out = _assign(q, cents).select(
+        F.col("vid").alias(id_col), "cluster", "dist_sq"
+    )
+    q.unpersist()
+    return out
+
+
+def kmeans_int_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = K,
+    iterations: int = ITERATIONS,
+    scale: int = SCALE,
+) -> str:
+    """The recurrence unrolled as CTE blocks. Floor division is spelled
+    ``(s - ((s % c) + c) % c) / c`` — exact in pure integers, equal to
+    Python's ``//`` for negative sums too."""
+    blocks = [
+        f"""q AS (
+      SELECT {id_col} AS vid,
+             list_transform({vec_col},
+                 x -> CAST(floor(CAST(x AS DOUBLE) * {scale} + 0.5) AS BIGINT))
+               AS qv
+      FROM {table}),
+    vdim AS (
+      SELECT vid, u.dim AS dim, u.val AS val FROM (
+        SELECT vid, unnest(list_transform(range(1, len(qv) + 1),
+                   i -> {{'dim': i, 'val': qv[i]}})) AS u
+        FROM q)),
+    cdim_0 AS (
+      SELECT CAST(rn - 1 AS INTEGER) AS cid, dim, val FROM (
+        SELECT vid, row_number() OVER (ORDER BY vid) AS rn FROM q) r
+      JOIN vdim USING (vid) WHERE rn <= {k})"""
+    ]
+    for t in range(1, iterations + 2):
+        prev = f"cdim_{t - 1}"
+        blocks.append(
+            f"""dist_{t} AS (
+      SELECT v.vid, c.cid,
+             sum((v.val - c.val) * (v.val - c.val)) AS dist_sq
+      FROM vdim v JOIN {prev} c USING (dim)
+      GROUP BY v.vid, c.cid),
+    asg_{t} AS (
+      SELECT vid, cid AS cluster, dist_sq FROM (
+        SELECT vid, cid, dist_sq,
+               row_number() OVER (PARTITION BY vid
+                                  ORDER BY dist_sq, cid) AS rn
+        FROM dist_{t}) WHERE rn = 1)"""
+        )
+        if t <= iterations:
+            blocks.append(
+                f"""new_{t} AS (
+      SELECT a.cluster AS cid, v.dim,
+             sum(v.val) AS s, count(*) AS c
+      FROM asg_{t} a JOIN vdim v USING (vid)
+      GROUP BY a.cluster, v.dim),
+    cdim_{t} AS (
+      SELECT p.cid, p.dim,
+             CASE WHEN n.c IS NULL THEN p.val
+                  ELSE CAST((n.s - (((n.s % n.c) + n.c) % n.c)) / n.c
+                            AS BIGINT)
+             END AS val
+      FROM {prev} p LEFT JOIN new_{t} n
+        ON p.cid = n.cid AND p.dim = n.dim)"""
+            )
+    final = iterations + 1
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + f"""
+    SELECT vid AS {id_col}, cluster, CAST(dist_sq AS BIGINT) AS dist_sq
+    FROM asg_{final}
+    """
+    )

@@ -21,6 +21,10 @@ from udacity_capstone_data_engineering_spark.operators.inverted_index import (
     inverted_index,
     inverted_index_oracle_sql,
 )
+from udacity_capstone_data_engineering_spark.operators.kmeans import (
+    kmeans_int,
+    kmeans_int_oracle_sql,
+)
 from udacity_capstone_data_engineering_spark.operators.repetition import (
     repetition_flags,
     repetition_flags_oracle_sql,
@@ -96,3 +100,22 @@ def inverted_index_postings(spark, sf_dir):
         F.explode(F.filter(tokens(F.col("text")), lambda t: t != "")).alias("token"),
     )
     return inverted_index(occ, "token", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Iterative ML: exact-integer k-means over embeddings
+# ---------------------------------------------------------------------------
+
+
+@_register("embedding_kmeans_int", kmeans_int_oracle_sql())
+def embedding_kmeans_int(spark, sf_dir):
+    """Fixed-iteration Lloyd k-means over the embedding corpus in
+    EXACT BIGINT arithmetic (quantize -> assign -> floor-div update),
+    so the iterative fixpoint is bit-equal across engines and the
+    clustering carries a full value-hash oracle — the second
+    application of the PageRank pattern, extended from graph ranking
+    to iterative ML (``operators/kmeans.py``). Assignment is map-only
+    against broadcast literal centroids; the update is one k x d
+    tree-aggregated collect per round (the MLlib layout)."""
+    vecs = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
+    return kmeans_int(vecs, "vec_id", "embedding")
