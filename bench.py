@@ -114,6 +114,8 @@ HEADLINE = [
     "inverted_index_postings",
     # round 5e: exact-integer Lloyd k-means over embeddings
     "embedding_kmeans_int",
+    # round 5e: BM25 ranking for the rarest-term workload
+    "bm25_topk_docs",
 ]
 
 

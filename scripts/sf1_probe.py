@@ -344,6 +344,12 @@ REL_QUERIES = [
     "token_heavy_hitters_mg",
     "leakage_safe_split",
     "copurchase_pagerank",
+    # round-5e additions: repetition filters, CMS, inverted index,
+    # integer k-means
+    "doc_repetition_flags",
+    "token_countmin_sketch",
+    "inverted_index_postings",
+    "embedding_kmeans_int",
 ]
 
 

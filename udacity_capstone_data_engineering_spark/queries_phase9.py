@@ -119,3 +119,97 @@ def embedding_kmeans_int(spark, sf_dir):
     tree-aggregated collect per round (the MLlib layout)."""
     vecs = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
     return kmeans_int(vecs, "vec_id", "embedding")
+
+
+# ---------------------------------------------------------------------------
+# Retrieval: BM25 ranking for a data-derived term workload
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = 8
+_BM25_TOPN = 50
+
+_BM25_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+                                                      '\\s+'), t -> t <> ''))
+               AS token
+      FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    terms AS (
+      SELECT token, df FROM (
+        SELECT token, df,
+               row_number() OVER (ORDER BY df, token) AS rn FROM df)
+      WHERE rn <= {_BM25_TERMS}),
+    doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (
+      SELECT (SELECT count(*) FROM documents) AS n_docs,
+             (SELECT count(*) FROM toks) AS total_toks),
+    contrib AS (
+      SELECT tf.doc_id,
+        CAST(ROUND(
+          ln(1 + (n_docs - t.df + 0.5) / (t.df + 0.5))
+          * tf.tf * ({_BM25_K1} + 1)
+          / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+             + {_BM25_B} * dl.dl
+               / (CAST(total_toks AS DOUBLE) / n_docs))),
+          9) AS DECIMAL(18, 9)) AS c
+      FROM tf JOIN terms t USING (token)
+      JOIN doclen dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats),
+    scored AS (
+      SELECT doc_id, ROUND(CAST(sum(c) AS DOUBLE), 6) AS score,
+             count(*) AS n_matched
+      FROM contrib GROUP BY doc_id)
+    SELECT doc_id, score, n_matched
+    FROM scored ORDER BY score DESC, doc_id LIMIT {_BM25_TOPN}
+"""
+
+
+@_register("bm25_topk_docs", _BM25_SQL)
+def bm25_topk_docs(spark, sf_dir):
+    """BM25 ranking over the corpus for a DATA-DERIVED term workload
+    (the 8 rarest tokens — the discriminative end of the vocabulary):
+    idf * tf-saturation * length normalization, per-term contributions
+    quantized to DECIMAL(18,9) before the per-doc sum (house rule: the
+    sum must be order-independent for the hash gate; one final double
+    round). Scale shape: tf/df/doclen are the inverted-index
+    aggregates; the term set and corpus stats are vocabulary-sized
+    TakeOrdered / scalar aggs entering as broadcasts; top-50 under a
+    (score, doc_id) total order is TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(tokens(F.lower(F.col("text"))), lambda t: t != "")
+        ).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    terms = df.orderBy("df", "token").limit(_BM25_TERMS)
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        toks.agg(F.count(F.lit(1)).alias("total_toks"))
+    )
+    k1, b = _BM25_K1, _BM25_B
+    avgdl = F.col("total_toks").cast("double") / F.col("n_docs")
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)
+    contrib = tf.join(F.broadcast(terms), "token").join(doclen, "doc_id").crossJoin(
+        F.broadcast(stats)
+    ).select(
+        "doc_id",
+        F.round(idf * F.col("tf") * (k1 + 1) / denom, 9)
+        .cast("decimal(18,9)")
+        .alias("c"),
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.round(F.sum("c").cast("double"), 6).alias("score"),
+        F.count(F.lit(1)).alias("n_matched"),
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(_BM25_TOPN)
