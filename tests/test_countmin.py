@@ -60,6 +60,58 @@ def test_cms_merge_is_cellwise_sum(spark, sf_dir):
     assert w == m
 
 
+def test_cms_stream_converges_to_batch(spark, tmp_path):
+    """Cross-batch streaming CMS: final cells (latest per cell —
+    counts are monotone) must equal the batch sketch over the full
+    stream, and state stays grid-bounded."""
+    from udacity_capstone_data_engineering_spark.operators.countmin import (
+        DEPTH,
+        countmin_stream,
+    )
+
+    b1 = [("hot",)] * 20 + [(f"c{i}",) for i in range(10)]
+    b2 = [("hot",)] * 15 + [("warm",)] * 5 + [(f"d{i}",) for i in range(10)]
+    src = tmp_path / "cms_src"
+    spark.createDataFrame(b1, "k string").coalesce(1).write.parquet(
+        str(src / "f1.parquet")
+    )
+    spark.createDataFrame(b2, "k string").coalesce(1).write.parquet(
+        str(src / "f2.parquet")
+    )
+    stream = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        countmin_stream(stream, "k")
+        .writeStream.format("memory")
+        .queryName("cms_stream_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM cms_stream_test").collect()
+    assert rows
+    latest: dict = {}
+    for r in rows:
+        key = (r.sketch_row, r.sketch_col)
+        latest[key] = max(latest[key], r.cnt) if key in latest else r.cnt
+    whole = spark.createDataFrame(b1 + b2, "k string")
+    want = {
+        (r.sketch_row, r.sketch_col): r.cnt
+        for r in countmin_sketch(whole, "k").collect()
+    }
+    assert latest == want
+    # multiple batches actually ran: some cell reported twice
+    from collections import Counter
+
+    seen = Counter((r.sketch_row, r.sketch_col) for r in rows)
+    assert any(v > 1 for v in seen.values())
+    assert len(latest) <= DEPTH * 256
+
+
 def test_cms_weighted_counts(spark):
     df = spark.createDataFrame(
         [("x", 3), ("x", 2), ("y", 1)], "k string, w int"

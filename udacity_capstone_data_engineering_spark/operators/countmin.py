@@ -95,6 +95,41 @@ def countmin_estimate(
     return joined.groupBy("key").agg(F.min("cell").alias("estimate"))
 
 
+def countmin_stream(
+    rows: DataFrame,
+    key_col: str,
+    weight_col: str | None = None,
+    depth: int = DEPTH,
+    width: int = WIDTH,
+) -> DataFrame:
+    """Streaming count-min: the same grid as :func:`countmin_sketch`,
+    maintained as a PLAIN streaming aggregation — because CMS cells
+    merge by sum, no custom stateful processor is needed (contrast the
+    streaming Misra-Gries, whose compress step needs
+    ``applyInPandasWithState``). State is exactly the (depth x width)
+    grid however many distinct keys the stream carries — the bounded
+    stand-in for an unbounded streaming count-distinct aggregation.
+
+    The batch operator's two-phase distinct-key trick needs a full
+    pass, so the stream pays the depth-fold fan-out per occurrence —
+    the price of unbounded input. Update-mode emissions are the
+    changed cells per micro-batch; cnt is monotone per cell, so the
+    latest value per (sketch_row, sketch_col) is the current sketch.
+    """
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    keyed = rows.filter(F.col(key_col).isNotNull()).select(
+        F.posexplode(
+            F.array(
+                *[cms_bucket(F.col(key_col), r, width) for r in range(depth)]
+            )
+        ).alias("sketch_row", "sketch_col"),
+        w.alias("__w"),
+    )
+    return keyed.groupBy("sketch_row", "sketch_col").agg(
+        F.sum("__w").cast("bigint").alias("cnt")
+    )
+
+
 def countmin_sketch_oracle_sql(
     key_expr_from: str, depth: int = DEPTH, width: int = WIDTH
 ) -> str:
