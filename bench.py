@@ -116,6 +116,8 @@ HEADLINE = [
     "embedding_kmeans_int",
     # round 5e: BM25 ranking for the rarest-term workload
     "bm25_topk_docs",
+    # round 5e: integer gram matrix (PCA prep, map-only outer products)
+    "embedding_gram_matrix",
 ]
 
 

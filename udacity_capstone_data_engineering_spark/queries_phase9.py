@@ -213,3 +213,73 @@ def bm25_topk_docs(spark, sf_dir):
         F.count(F.lit(1)).alias("n_matched"),
     )
     return scored.orderBy(F.desc("score"), "doc_id").limit(_BM25_TOPN)
+
+
+# ---------------------------------------------------------------------------
+# Linear algebra: integer gram matrix of the embedding corpus (PCA prep)
+# ---------------------------------------------------------------------------
+
+_GRAM_SCALE = 1024
+
+_GRAM_SQL = f"""
+    WITH q AS (
+      SELECT list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * {_GRAM_SCALE} + 0.5)
+                           AS BIGINT)) AS qv
+      FROM embeddings),
+    cells AS (
+      SELECT u.i AS i, u.j AS j, u.p AS p FROM (
+        SELECT unnest(flatten(list_transform(range(1, len(qv) + 1),
+                   i -> list_transform(range(i, len(qv) + 1),
+                       j -> {{'i': i, 'j': j, 'p': qv[i] * qv[j]}})))) AS u
+        FROM q))
+    SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+           CAST(sum(p) AS BIGINT) AS g
+    FROM cells GROUP BY 1, 2
+"""
+
+
+@_register("embedding_gram_matrix", _GRAM_SQL)
+def embedding_gram_matrix(spark, sf_dir):
+    """Upper-triangle gram matrix G[i,j] = sum over vectors of
+    qv[i]*qv[j] on the floor-rounded integer quantization — the
+    PCA/whitening precursor (covariance = G/n - mean outer product,
+    driver-side arithmetic on this d^2-sized output). Exact BIGINT
+    products make the reduction order-independent, so the matrix
+    itself is hash-gated. Scale shape: the d(d+1)/2 products per
+    vector are built by nested builtin HOFs and exploded MAP-ONLY —
+    no self-join — then one aggregation onto d^2-bounded cells with
+    map-side combine; shuffle bytes are partitions x 2080 cells
+    regardless of corpus size."""
+    vecs = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
+    d = F.size("qv")
+    q = vecs.select(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * _GRAM_SCALE + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("qv")
+    )
+    pairs = q.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), d),
+                    lambda i: F.transform(
+                        F.sequence(i, d),
+                        lambda j: F.struct(
+                            i.cast("int").alias("i"),
+                            j.cast("int").alias("j"),
+                            (
+                                F.element_at("qv", i) * F.element_at("qv", j)
+                            ).alias("p"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("u")
+    )
+    return pairs.select("u.i", "u.j", "u.p").groupBy("i", "j").agg(
+        F.sum("p").alias("g")
+    )
