@@ -137,6 +137,34 @@ PICK = {
         "4-column ReadSchema, exact DECIMAL partial+final aggregate, "
         "zero wide shuffles, one WholeStageCodegen span."
     ),
+    "doc_repetition_flags": (
+        "Repetition filters (r5e): three explode->groupBy branches "
+        "whose shuffle keys are (doc_id, 60-bit hash) — raw lines/"
+        "grams never cross the wire; all joins doc_id-keyed on "
+        "already-reduced one-row-per-doc relations."
+    ),
+    "token_countmin_sketch": (
+        "Count-min (r5e): exact per-key partials are the only "
+        "data-sized shuffle (paired partial/final HashAggregate); the "
+        "depth-fold posexplode fans out the DISTINCT-key relation "
+        "only, reduced onto the (4x256)-bounded grid."
+    ),
+    "inverted_index_postings": (
+        "Inverted index (r5e): hash-keyed df/cf aggregates; postings "
+        "via the two-level salted row_number tournament — look for "
+        "two Window nodes over (th, doc%16) then (th), never a "
+        "corpus-sized single partition."
+    ),
+    "bm25_topk_docs": (
+        "BM25 (r5e): tf/df/doclen aggregates; term set + corpus "
+        "stats enter as BroadcastExchange; DECIMAL(18,9) partial+final "
+        "contribution sum; TakeOrderedAndProject top-50."
+    ),
+    "embedding_gram_matrix": (
+        "Gram matrix (r5e): nested-HOF outer products exploded "
+        "map-only (no self-join), ONE aggregation exchange onto "
+        "d^2-bounded cells with map-side combine."
+    ),
 }
 
 HEADER = """# PLANS — physical plans of headline queries (sf0.01, AQE on)
