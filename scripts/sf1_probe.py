@@ -350,6 +350,8 @@ REL_QUERIES = [
     "token_countmin_sketch",
     "inverted_index_postings",
     "embedding_kmeans_int",
+    "bm25_topk_docs",
+    "embedding_gram_matrix",
 ]
 
 
