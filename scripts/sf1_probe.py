@@ -352,6 +352,10 @@ REL_QUERIES = [
     "embedding_kmeans_int",
     "bm25_topk_docs",
     "embedding_gram_matrix",
+    # round-5f additions: bigram LM filter, PSI drift, semantic dedup
+    "bigram_lm_quality",
+    "psi_event_drift",
+    "semantic_dedup_eps",
 ]
 
 

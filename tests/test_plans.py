@@ -446,6 +446,8 @@ def test_no_cartesian_anywhere_and_bnlj_only_where_documented(spark, sf_dir):
         "token_heavy_hitters_mg",
         # r5e: BM25's 1-row corpus-stats broadcast (n_docs, total_toks)
         "bm25_topk_docs",
+        # r5f: the bigram LM's 1-row vocabulary-size broadcast
+        "bigram_lm_quality",
     }
     offenders_cart, offenders_bnlj = [], []
     for name, (fn, _) in sorted(_REGISTRY.items()):

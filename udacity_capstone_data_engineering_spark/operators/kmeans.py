@@ -118,17 +118,19 @@ def kmeans_int(
     return out
 
 
-def kmeans_int_oracle_sql(
+def kmeans_oracle_blocks(
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = K,
     iterations: int = ITERATIONS,
     scale: int = SCALE,
-) -> str:
-    """The recurrence unrolled as CTE blocks. Floor division is spelled
-    ``(s - ((s % c) + c) % c) / c`` — exact in pure integers, equal to
-    Python's ``//`` for negative sums too."""
+) -> tuple[list[str], str]:
+    """The recurrence unrolled as CTE blocks, returned as
+    ``(blocks, final_assignment_cte_name)`` so composite oracles
+    (semantic dedup) can extend the same WITH chain. Floor division is
+    spelled ``(s - ((s % c) + c) % c) / c`` — exact in pure integers,
+    equal to Python's ``//`` for negative sums too."""
     blocks = [
         f"""q AS (
       SELECT {id_col} AS vid,
@@ -177,12 +179,25 @@ def kmeans_int_oracle_sql(
       FROM {prev} p LEFT JOIN new_{t} n
         ON p.cid = n.cid AND p.dim = n.dim)"""
             )
-    final = iterations + 1
+    return blocks, f"asg_{iterations + 1}"
+
+
+def kmeans_int_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = K,
+    iterations: int = ITERATIONS,
+    scale: int = SCALE,
+) -> str:
+    blocks, final = kmeans_oracle_blocks(
+        table, id_col, vec_col, k, iterations, scale
+    )
     return (
         "WITH "
         + ",\n    ".join(blocks)
         + f"""
     SELECT vid AS {id_col}, cluster, CAST(dist_sq AS BIGINT) AS dist_sq
-    FROM asg_{final}
+    FROM {final}
     """
     )
