@@ -118,6 +118,12 @@ HEADLINE = [
     "bm25_topk_docs",
     # round 5e: integer gram matrix (PCA prep, map-only outer products)
     "embedding_gram_matrix",
+    # round 5f: corpus bigram-LM perplexity filter
+    "bigram_lm_quality",
+    # round 5f: PSI distribution-drift monitor
+    "psi_event_drift",
+    # round 5f: SemDeDup within-cluster eps-ball dedup audit
+    "semantic_dedup_eps",
 ]
 
 
