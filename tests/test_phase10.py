@@ -209,3 +209,213 @@ def test_jsonl_roundtrip_identity(spark, sf_dir):
         .collect()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# k-core
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_matches_python_peeling(spark, sf_dir):
+    """Replay simultaneous-removal peeling in plain Python over the
+    same support->=2 edge list."""
+    from collections import defaultdict
+
+    rows = QUERIES["copurchase_kcore"](spark, sf_dir).collect()
+    got = {r["part"]: r["core_deg"] for r in rows}
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = {(r["l_orderkey"], r["l_partkey"]) for r in
+             li.select("l_orderkey", "l_partkey").distinct().collect()}
+    per_order = defaultdict(list)
+    for ok, pk in items:
+        per_order[ok].append(pk)
+    pair_count = defaultdict(int)
+    for parts in per_order.values():
+        parts = sorted(parts)
+        for i, a in enumerate(parts):
+            for b in parts[i + 1:]:
+                pair_count[(a, b)] += 1
+    adj = defaultdict(set)
+    for (a, b), c in pair_count.items():
+        if c >= 2:
+            adj[a].add(b)
+            adj[b].add(a)
+    for _ in range(10):
+        low = [v for v, nb in adj.items() if len(nb) < 3]
+        for v in low:
+            for u in list(adj[v]):
+                adj[u].discard(v)
+            del adj[v]
+        for v in [v for v, nb in adj.items() if not nb]:
+            del adj[v]
+    want = {v: len(nb) for v, nb in adj.items()}
+    assert got == want
+
+
+def test_kcore_extra_round_is_idempotent(spark, sf_dir):
+    """One more peel past the registered depth changes nothing — the
+    registered output IS the 3-core at this sf."""
+    from udacity_capstone_data_engineering_spark.operators.kcore import (
+        kcore_fixed,
+    )
+    from udacity_capstone_data_engineering_spark.queries_phase10 import (
+        _KCORE_K,
+        _KCORE_ROUNDS,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    sym = pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).union(
+        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    at = sorted(map(tuple, kcore_fixed(sym, _KCORE_K, _KCORE_ROUNDS).collect()))
+    plus = sorted(
+        map(tuple, kcore_fixed(sym, _KCORE_K, _KCORE_ROUNDS + 1).collect())
+    )
+    assert at == plus
+
+
+# ---------------------------------------------------------------------------
+# token entropy
+# ---------------------------------------------------------------------------
+
+
+def test_entropy_replay_one_doc(spark, sf_dir):
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["doc_token_entropy"](spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").collect()
+    target = min(r["doc_id"] for r in docs)
+    text = next(r["text"] for r in docs if r["doc_id"] == target)
+    toks = text.lower().split()
+    n = len(toks)
+    from collections import Counter
+
+    units = 0
+    for m in Counter(toks).values():
+        p = m / n
+        units += int(round(p * math.log(p), 9) * 1e9 - 0.5 if p * math.log(p) < 0
+                     else round(p * math.log(p), 9) * 1e9 + 0.5)
+    t = 2 * units + (1000 if units >= 0 else -1000)
+    q = (t - (((t % 2000) + 2000) % 2000)) // 2000
+    got = out[target]
+    assert got["n_tokens"] == n
+    assert got["entropy"] == -q / 1e6
+
+
+def test_entropy_bounds(spark, sf_dir):
+    """0 <= H <= ln(n_tokens) for every doc (uniform maximizes)."""
+    rows = QUERIES["doc_token_entropy"](spark, sf_dir).collect()
+    assert rows
+    # tolerance: the 1e-6 output grid plus n x 0.5e-9 quantization slack
+    for r in rows:
+        assert -1e-5 <= r["entropy"] <= math.log(r["n_tokens"]) + 1e-5
+
+
+def test_entropy_uniform_vs_repetitive(spark):
+    from udacity_capstone_data_engineering_spark.queries_phase10 import (
+        doc_token_entropy,  # noqa: F401  (import parity)
+    )
+    # build two docs inline through the same operator path
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a a a a a a a a")],
+        "doc_id long, text string",
+    )
+    from udacity_capstone_data_engineering_spark.functions.text import tokens
+
+    tf = (
+        df.select(
+            F.col("doc_id").alias("doc"),
+            F.explode(tokens(F.lower(F.col("text")))).alias("t"),
+        )
+        .groupBy("doc", "t")
+        .count()
+    )
+    rows = tf.groupBy("doc").count().collect()
+    assert {r["doc"]: r["count"] for r in rows} == {1: 8, 2: 1}
+
+
+# ---------------------------------------------------------------------------
+# weighted sample
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_deterministic_and_sized(spark, sf_dir):
+    a = sorted(map(tuple, QUERIES["weighted_sample_docs"](spark, sf_dir).collect()))
+    b = sorted(
+        map(
+            tuple,
+            QUERIES["weighted_sample_docs"](spark, sf_dir)
+            .repartition(7)
+            .collect(),
+        )
+    )
+    assert a == b
+    assert len(a) == min(
+        100, load_table(spark, sf_dir, "documents").count()
+    )
+
+
+def test_weighted_sample_biases_toward_long_docs(spark, sf_dir):
+    """Length-proportional sampling: mean n_chars of the sample should
+    exceed the corpus mean (weights are n_chars)."""
+    sample = QUERIES["weighted_sample_docs"](spark, sf_dir).agg(
+        F.avg("n_chars")
+    ).collect()[0][0]
+    corpus = (
+        load_table(spark, sf_dir, "documents").agg(F.avg("n_chars")).collect()[0][0]
+    )
+    assert sample > corpus
+
+
+# ---------------------------------------------------------------------------
+# ORC roundtrip
+# ---------------------------------------------------------------------------
+
+
+def test_orc_roundtrip_identity(spark, sf_dir):
+    got = sorted(
+        tuple(r) for r in QUERIES["orc_roundtrip_orders"](spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r) for r in load_table(spark, sf_dir, "orders").collect()
+    )
+    assert got == want
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    """Top-N must be TakeOrderedAndProject; the only window runs on
+    the N survivors (bounded by construction), never the corpus."""
+    plan = _plan(QUERIES["weighted_sample_docs"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_kcore_plan_edge_list_semi_joins(spark, sf_dir):
+    """One peel round must filter edges with TWO LEFT-SEMI joins and
+    no cartesian. (The registered query's final plan hides the rounds
+    behind per-round localCheckpoints, so the round is inspected
+    directly.)"""
+    from udacity_capstone_data_engineering_spark.operators.kcore import (
+        _peel_once,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    plan = _plan(_peel_once(li, 3))
+    assert "CartesianProduct" not in plan
+    assert plan.count("LeftSemi") >= 2

@@ -27,6 +27,15 @@ from udacity_capstone_data_engineering_spark.operators.semdedup import (
     semantic_dedup,
     semantic_dedup_oracle_sql,
 )
+from udacity_capstone_data_engineering_spark.functions.hashing import (
+    portable_hash64,
+    portable_hash64_sql,
+)
+from udacity_capstone_data_engineering_spark.functions.text import tokens
+from udacity_capstone_data_engineering_spark.operators.kcore import (
+    kcore_fixed,
+    kcore_oracle_blocks,
+)
 from udacity_capstone_data_engineering_spark.queries import _register
 from udacity_capstone_data_engineering_spark.sources.catalog import (
     fan_out_small_scan,
@@ -143,3 +152,233 @@ def jsonl_roundtrip_docs(spark, sf_dir):
     return spark.read.schema(schema).json(path).select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph: k-core of the co-purchase graph (fixed-round peeling)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+# measured peel depths to convergence on the driver data: 0 (sf0.001),
+# 10 (sf0.01), 2 (sf0.1, core empties) — 10 covers all, extra rounds
+# are no-ops on the fixpoint (unit-tested)
+_KCORE_ROUNDS = 10
+
+_COPURCHASE_EDGE_CTES = """items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    cp_pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS c
+      FROM items a
+      JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    cp_e AS (SELECT pa, pb FROM cp_pairs WHERE c >= 2),
+    cp_sym AS (SELECT pa AS src, pb AS dst FROM cp_e
+               UNION ALL SELECT pb, pa FROM cp_e)"""
+
+
+def _kcore_oracle_sql() -> str:
+    blocks, final = kcore_oracle_blocks("cp_sym", _KCORE_K, _KCORE_ROUNDS)
+    return (
+        "WITH "
+        + _COPURCHASE_EDGE_CTES
+        + ",\n    "
+        + ",\n    ".join(blocks)
+        + f"""
+    SELECT src AS part, count(*) AS core_deg
+    FROM {final} GROUP BY 1
+    """
+    )
+
+
+@_register("copurchase_kcore", _kcore_oracle_sql())
+def copurchase_kcore(spark, sf_dir):
+    """3-core of the co-purchase graph (same support->=2 edge set as
+    `copurchase_pagerank`): the dense-cohort extractor, by 10 rounds
+    of exact set-algebra peeling — degree count, threshold, endpoint
+    semi-joins, all on the edge list, lineage cut per round
+    (``operators/kcore.py``). Fixed rounds make the iterative
+    algorithm engine-exact, so the surviving vertices AND their
+    residual degrees are hash-gated against the unrolled-CTE oracle
+    (the PageRank pattern, third application). 10 rounds covers the
+    measured convergence depth at every driver sf (0/10/2; the sf0.1
+    support->=2 graph peels to an EMPTY 3-core — a finding, not a
+    bug), and rounds past the fixpoint are idempotent no-ops."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    sym = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).union(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    out = kcore_fixed(sym, _KCORE_K, _KCORE_ROUNDS)
+    return out.select(F.col("node").alias("part"), "core_deg")
+
+
+# ---------------------------------------------------------------------------
+# Text quality: unigram entropy per document
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "doc_token_entropy",
+    f"""
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+                                                      '\\s+'), t -> t <> ''))
+               AS t
+      FROM documents),
+    tf AS (SELECT doc, t, count(*) AS m FROM toks GROUP BY 1, 2),
+    n AS (SELECT doc, CAST(sum(m) AS BIGINT) AS n FROM tf GROUP BY 1),
+    units AS (
+      SELECT tf.doc, n.n,
+             sum(CAST(CAST(CAST(ROUND(
+                     (tf.m / CAST(n.n AS DOUBLE))
+                       * ln(tf.m / CAST(n.n AS DOUBLE)), 9)
+                   AS DECIMAL(18,9)) AS DECIMAL(28,9)) * 1000000000
+                 AS BIGINT)) AS u
+      FROM tf JOIN n ON tf.doc = n.doc GROUP BY 1, 2),
+    fixedpt AS (
+      SELECT doc, n,
+             2 * u + CASE WHEN u >= 0 THEN 1000 ELSE -1000 END AS t,
+             2000 AS d
+      FROM units)
+    SELECT doc AS doc_id, n AS n_tokens,
+           -CAST(CAST((t - (((t % d) + d) % d)) / d AS BIGINT)
+                 AS DOUBLE) / 1000000.0 AS entropy
+    FROM fixedpt
+    """,
+)
+def doc_token_entropy(spark, sf_dir):
+    """Unigram Shannon entropy per document — the third text-quality
+    signal next to the Gopher rules and the bigram LM score: low
+    entropy flags repetitive/templated docs, implausibly high entropy
+    flags token soup. Per-token contributions p*ln(p) are quantized to
+    BIGINT 1e-9 units before the per-doc sum, and the final 6-decimal
+    value is rounded in exact integer arithmetic (the pmod fixed-point
+    spell — no divide-then-round double hazard)."""
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    tf = (
+        docs.select(
+            F.col("doc_id").alias("doc"),
+            F.explode(
+                F.filter(tokens(F.lower(F.col("text"))), lambda t: t != "")
+            ).alias("t"),
+        )
+        .groupBy("doc", "t")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    n = tf.groupBy("doc").agg(F.sum("m").alias("n"))
+    p = F.col("m") / F.col("n")
+    u = (
+        F.round(p * F.log(p), 9).cast("decimal(18,9)") * F.lit(10**9)
+    ).cast("long")
+    units = (
+        tf.join(n, "doc").select("doc", "n", u.alias("u"))
+        .groupBy("doc", "n")
+        .agg(F.sum("u").alias("u"))
+    )
+    t = F.lit(2) * F.col("u") + F.when(F.col("u") >= 0, 1000).otherwise(-1000)
+    d = F.lit(2000)
+    q = ((t - ((t % d + d) % d)) / d).cast("long")
+    return units.select(
+        F.col("doc").alias("doc_id"),
+        F.col("n").alias("n_tokens"),
+        (-q.cast("double") / F.lit(1e6)).alias("entropy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sampling: deterministic weighted sample (Efraimidis-Spirakis)
+# ---------------------------------------------------------------------------
+
+_WS_SEED = 71
+_WS_N = 100
+_WS_U_MOD = 2**40  # power of two: (r+1)/2^40 is an EXACT double
+
+
+@_register(
+    "weighted_sample_docs",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ln(({portable_hash64_sql("CAST(doc_id AS VARCHAR)", _WS_SEED)}
+                 % {_WS_U_MOD} + 1) / {float(_WS_U_MOD)})
+               / n_chars AS score
+      FROM documents)
+    SELECT doc_id, n_chars,
+           row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+    FROM keyed
+    ORDER BY score DESC, doc_id
+    LIMIT {_WS_N}
+    """,
+)
+def weighted_sample_docs(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-ES): inclusion probability proportional to document length, yet
+    fully DETERMINISTIC — the random key is ln(u)/w with u an exact
+    dyadic uniform from the portable 60-bit hash, so the sample is a
+    pure function of the record key: repartition-stable, rerun-stable,
+    engine-portable (house sampling law; `df.sample` is none of
+    those). Top-N by (score, id) is TakeOrderedAndProject — one scan,
+    no shuffle beyond the final k-merge."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        portable_hash64(F.col("doc_id").cast("string"), seed=_WS_SEED)
+        % _WS_U_MOD
+        + 1
+    ) / F.lit(float(_WS_U_MOD))
+    keyed = docs.select(
+        "doc_id", "n_chars", (F.log(u) / F.col("n_chars")).alias("score")
+    )
+    # top-N FIRST (TakeOrderedAndProject: per-partition heaps + one
+    # k-merge — never a corpus-sized single-partition sort), THEN rank
+    # the N survivors (the window runs on N rows by construction)
+    top = keyed.orderBy(F.desc("score"), "doc_id").limit(_WS_N)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "n_chars", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sources/sinks: ORC edge of the format matrix
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "orc_roundtrip_orders",
+    "SELECT * FROM orders",
+)
+def orc_roundtrip_orders(spark, sf_dir):
+    """ORC sink + source under the identity oracle: the second
+    columnar format (Hive-ecosystem interchange). Types survive
+    natively (no schema-on-read), and ORC keeps the same
+    pushdown/pruning contract as parquet — the roundtrip proves the
+    engine's format matrix isn't parquet-monoculture."""
+    import tempfile
+
+    from udacity_capstone_data_engineering_spark.sources.sinks import write_files
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="spark_orc_gate_")
+    path = write_files(orders, base, "orders_orc", file_format="orc")
+    return spark.read.orc(path).select(*orders.columns)
