@@ -124,6 +124,10 @@ HEADLINE = [
     "psi_event_drift",
     # round 5f: SemDeDup within-cluster eps-ball dedup audit
     "semantic_dedup_eps",
+    # round 5f batch 2: k-core peeling, token entropy, weighted sample
+    "copurchase_kcore",
+    "doc_token_entropy",
+    "weighted_sample_docs",
 ]
 
 

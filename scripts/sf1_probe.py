@@ -356,6 +356,9 @@ REL_QUERIES = [
     "bigram_lm_quality",
     "psi_event_drift",
     "semantic_dedup_eps",
+    "copurchase_kcore",
+    "doc_token_entropy",
+    "weighted_sample_docs",
 ]
 
 
