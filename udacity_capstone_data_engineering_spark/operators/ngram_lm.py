@@ -44,6 +44,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from udacity_capstone_data_engineering_spark.functions.fixedpoint import (
+    exact_round_div,
+    exact_round_div_sql,
+)
 from udacity_capstone_data_engineering_spark.functions.text import tokens
 
 LOGP_DECIMALS = 9
@@ -102,15 +106,11 @@ def bigram_lm_scores(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .groupBy("doc")
         .agg(F.sum("m").alias("nb"), F.sum("lp").alias("slp"))
     )
-    # exact fixed-point mean at 6 decimals, half-away-from-zero:
-    # q = floor((2*slp + sign*den) / (2*den)) with den = nb * 10^3,
-    # floor spelled via pmod so negative sums agree across engines
-    den = F.col("nb") * F.lit(10 ** (LOGP_DECIMALS - SCORE_DECIMALS))
-    t = F.lit(2) * F.col("slp") + F.when(
-        F.col("slp") >= 0, den
-    ).otherwise(-den)
-    d = F.lit(2) * den
-    q = ((t - ((t % d + d) % d)) / d).cast("long")
+    # exact fixed-point mean at 6 decimals, half-away-from-zero
+    # (functions/fixedpoint.py — the divide-then-round hazard fix)
+    q = exact_round_div(
+        F.col("slp"), F.col("nb"), LOGP_DECIMALS - SCORE_DECIMALS
+    )
     return (
         docs.select(F.col(id_col))
         .join(scored, F.col(id_col) == F.col("doc"), "left")
@@ -156,18 +156,11 @@ def bigram_lm_oracle_sql(
                  * {10**LOGP_DECIMALS} AS BIGINT)
                  * occ.m) AS slp
       FROM occ JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN vocab
-      GROUP BY 1),
-    -- exact fixed-point mean at {SCORE_DECIMALS} decimals,
-    -- half-away-from-zero, floor spelled pmod-style (k-means oracle)
-    fixed AS (
-      SELECT doc, nb,
-             2 * slp + CASE WHEN slp >= 0 THEN nb * {10**(LOGP_DECIMALS - SCORE_DECIMALS)}
-                            ELSE -(nb * {10**(LOGP_DECIMALS - SCORE_DECIMALS)}) END AS t,
-             2 * nb * {10**(LOGP_DECIMALS - SCORE_DECIMALS)} AS d
-      FROM scored)
+      GROUP BY 1)
     SELECT d.{id_col},
-           CAST(COALESCE(f.nb, 0) AS BIGINT) AS n_bigrams,
-           CAST(CAST((f.t - (((f.t % f.d) + f.d) % f.d)) / f.d AS BIGINT)
+           CAST(COALESCE(s.nb, 0) AS BIGINT) AS n_bigrams,
+           CAST({exact_round_div_sql("s.slp", "s.nb",
+                                     LOGP_DECIMALS - SCORE_DECIMALS)}
                 AS DOUBLE) / {float(10**SCORE_DECIMALS)} AS avg_logp
-    FROM {table} d LEFT JOIN fixed f ON d.{id_col} = f.doc
+    FROM {table} d LEFT JOIN scored s ON d.{id_col} = s.doc
     """

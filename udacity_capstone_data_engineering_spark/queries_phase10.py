@@ -27,6 +27,10 @@ from udacity_capstone_data_engineering_spark.operators.semdedup import (
     semantic_dedup,
     semantic_dedup_oracle_sql,
 )
+from udacity_capstone_data_engineering_spark.functions.fixedpoint import (
+    exact_round_div,
+    exact_round_div_sql,
+)
 from udacity_capstone_data_engineering_spark.functions.hashing import (
     portable_hash64,
     portable_hash64_sql,
@@ -255,13 +259,9 @@ def copurchase_kcore(spark, sf_dir):
                  AS BIGINT)) AS u
       FROM tf JOIN n ON tf.doc = n.doc GROUP BY 1, 2),
     fixedpt AS (
-      SELECT doc, n,
-             2 * u + CASE WHEN u >= 0 THEN 1000 ELSE -1000 END AS t,
-             2000 AS d
-      FROM units)
+      SELECT doc, n, {exact_round_div_sql("u", "1", 3)} AS q FROM units)
     SELECT doc AS doc_id, n AS n_tokens,
-           -CAST(CAST((t - (((t % d) + d) % d)) / d AS BIGINT)
-                 AS DOUBLE) / 1000000.0 AS entropy
+           -CAST(q AS DOUBLE) / 1000000.0 AS entropy
     FROM fixedpt
     """,
 )
@@ -294,9 +294,7 @@ def doc_token_entropy(spark, sf_dir):
         .groupBy("doc", "n")
         .agg(F.sum("u").alias("u"))
     )
-    t = F.lit(2) * F.col("u") + F.when(F.col("u") >= 0, 1000).otherwise(-1000)
-    d = F.lit(2000)
-    q = ((t - ((t % d + d) % d)) / d).cast("long")
+    q = exact_round_div(F.col("u"), F.lit(1), 3)
     return units.select(
         F.col("doc").alias("doc_id"),
         F.col("n").alias("n_tokens"),
