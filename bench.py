@@ -128,6 +128,8 @@ HEADLINE = [
     "copurchase_kcore",
     "doc_token_entropy",
     "weighted_sample_docs",
+    # round 5f batch 3: incremental-ingest dedup (fingerprint index join)
+    "incremental_ingest_dedup",
 ]
 
 

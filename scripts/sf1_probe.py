@@ -359,6 +359,7 @@ REL_QUERIES = [
     "copurchase_kcore",
     "doc_token_entropy",
     "weighted_sample_docs",
+    "incremental_ingest_dedup",
 ]
 
 

@@ -419,3 +419,150 @@ def test_kcore_plan_edge_list_semi_joins(spark, sf_dir):
     plan = _plan(_peel_once(li, 3))
     assert "CartesianProduct" not in plan
     assert plan.count("LeftSemi") >= 2
+
+
+# ---------------------------------------------------------------------------
+# incremental ingest dedup
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_ingest_flags_injected_dups(spark):
+    """Ids 0/10/20 are incoming (id%10==0). 20 duplicates an existing
+    doc; 10 and 0 duplicate each other within the batch (0 wins by
+    id); 30 is fresh."""
+    from udacity_capstone_data_engineering_spark.functions.hashing import (
+        portable_hash64,
+    )
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [
+            (1, "existing text one"),
+            (2, "existing text two"),
+            (20, "existing text two"),   # incoming, dup of existing
+            (0, "batch twin"),           # incoming, kept (smallest id)
+            (10, "batch twin"),          # incoming, dup within batch
+            (30, "fresh text"),          # incoming, accept
+        ],
+        "doc_id long, text string",
+    )
+    docs = df.select("doc_id", portable_hash64(F.col("text")).alias("fingerprint"))
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    existing = (
+        docs.filter(F.col("doc_id") % 10 != 0)
+        .select("fingerprint").distinct().withColumn("__hit", F.lit(True))
+    )
+    w = (
+        Window.partitionBy("fingerprint").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = incoming.select(
+        "doc_id", "fingerprint",
+        (F.count(F.lit(1)).over(w) > 0).alias("dup_within_batch"),
+    )
+    out = {
+        r["doc_id"]: (r["dup_of_existing"], r["dup_within_batch"], r["accept"])
+        for r in flagged.join(existing, "fingerprint", "left").select(
+            "doc_id",
+            F.coalesce(F.col("__hit"), F.lit(False)).alias("dup_of_existing"),
+            "dup_within_batch",
+            (~F.coalesce(F.col("__hit"), F.lit(False))
+             & ~F.col("dup_within_batch")).alias("accept"),
+        ).collect()
+    }
+    assert out[20] == (True, False, False)
+    assert out[0] == (False, False, True)
+    assert out[10] == (False, True, False)
+    assert out[30] == (False, False, True)
+
+
+def test_incremental_ingest_covers_batch(spark, sf_dir):
+    out = QUERIES["incremental_ingest_dedup"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    n_incoming = docs.filter(F.col("doc_id") % 10 == 0).count()
+    assert out.count() == n_incoming
+    # verdicts are consistent: accept == neither dup flag
+    bad = out.filter(
+        F.col("accept")
+        != (~F.col("dup_of_existing") & ~F.col("dup_within_batch"))
+    ).count()
+    assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# streaming drift monitor
+# ---------------------------------------------------------------------------
+
+
+def test_drift_stream_matches_batch_psi(spark, tmp_path):
+    """Stream the period-b events file-by-file; the latest-per-cell
+    histogram joined with the static period-a reference through
+    psi_from_counts must equal the BATCH psi_report over the union."""
+    from udacity_capstone_data_engineering_spark.operators.drift import (
+        drift_counts_stream,
+        psi_from_counts,
+        psi_report,
+        value_bucket,
+    )
+
+    ref_rows = [("click", 10.0)] * 30 + [("click", 60.0)] * 10 + [
+        ("view", 30.0)
+    ] * 20
+    live1 = [("click", 10.0)] * 10 + [("click", 240.0)] * 10
+    live2 = [("click", 60.0)] * 5 + [("view", 30.0)] * 5 + [("view", 90.0)] * 5
+    src = tmp_path / "drift_src"
+    spark.createDataFrame(live1, "k string, value double").coalesce(1).write.parquet(
+        str(src / "f1.parquet")
+    )
+    spark.createDataFrame(live2, "k string, value double").coalesce(1).write.parquet(
+        str(src / "f2.parquet")
+    )
+    stream = (
+        spark.readStream.schema("k string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        drift_counts_stream(stream, "k", "value", 25.0, 10)
+        .writeStream.format("memory")
+        .queryName("drift_stream_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("SELECT * FROM drift_stream_test").collect()
+    assert emitted
+    latest: dict = {}
+    for r in emitted:
+        key = (r.k, r.bucket)
+        latest[key] = max(latest.get(key, 0), r.c)  # counts monotone
+    live_counts = spark.createDataFrame(
+        [(k, "b", b, c) for (k, b), c in latest.items()],
+        "k string, period string, bucket int, c long",
+    )
+    ref = spark.createDataFrame(ref_rows, "k string, value double")
+    ref_counts = ref.select(
+        "k", F.lit("a").alias("period"),
+        value_bucket(F.col("value"), 25.0, 10).alias("bucket"),
+    ).groupBy("k", "period", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    got = sorted(
+        map(tuple, psi_from_counts(ref_counts.union(live_counts), 10).collect())
+    )
+    # batch equivalent over the union with an explicit period column
+    batch = spark.createDataFrame(
+        [(k, "2024-01-01 00:00:00", v) for k, v in ref_rows]
+        + [(k, "2024-01-20 00:00:00", v) for k, v in live1 + live2],
+        "k string, ts string, value double",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "value")
+    want = sorted(
+        map(
+            tuple,
+            psi_report(batch, "k", "ts", "value",
+                       "2024-01-16 00:00:00", 25.0, 10).collect(),
+        )
+    )
+    assert got == want
+    # a real drift signal: 'click' gained a far bucket -> psi > 0
+    psi_by_key = {t[0]: t[3] for t in got}
+    assert psi_by_key["click"] > 0.1

@@ -27,7 +27,7 @@ PSI over 100 TB of events costs exactly one pass + one tiny shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 CONTRIB_DECIMALS = 9
 PSI_DECIMALS = 6
@@ -47,21 +47,36 @@ def psi_report(
     period a) and rows at/after it (comparison period b), bucketing
     ``value_col`` into ``n_buckets`` fixed-width bins (the last bin is
     open-ended). Returns ``(key, n_a, n_b, psi)``."""
-    top = n_buckets - 1
     binned = events.select(
         F.col(key_col).alias("k"),
         F.when(F.col(ts_col) < F.lit(pivot_ts).cast("timestamp"), "a")
         .otherwise("b")
         .alias("period"),
-        F.least(
-            F.lit(top), F.floor(F.col(value_col) / F.lit(bucket_width))
-        )
-        .cast("int")
-        .alias("bucket"),
+        value_bucket(F.col(value_col), bucket_width, n_buckets).alias(
+            "bucket"
+        ),
     )
     counts = binned.groupBy("k", "period", "bucket").agg(
         F.count(F.lit(1)).alias("c")
     )
+    out = psi_from_counts(counts, n_buckets)
+    return out.select(F.col("k").alias(key_col), "n_a", "n_b", "psi")
+
+
+def value_bucket(value: Column, bucket_width: float, n_buckets: int) -> Column:
+    """Fixed-width bin index with an open-ended last bin."""
+    return (
+        F.least(F.lit(n_buckets - 1), F.floor(value / F.lit(bucket_width)))
+        .cast("int")
+    )
+
+
+def psi_from_counts(counts: DataFrame, n_buckets: int) -> DataFrame:
+    """PSI per key from a ``(k, period['a'|'b'], bucket, c)`` count
+    relation — the reusable core shared by the batch report and the
+    streaming monitor (whose counts arrive as latest-per-cell
+    emissions). Returns ``(k, n_a, n_b, psi)``."""
+    top = n_buckets - 1
     totals = counts.groupBy("k").pivot("period", ["a", "b"]).sum("c")
     totals = totals.select(
         "k",
@@ -104,7 +119,37 @@ def psi_report(
         joined.select("k", "n_a", "n_b", contrib.alias("w"))
         .groupBy("k", "n_a", "n_b")
         .agg(F.round(F.sum("w").cast("double"), PSI_DECIMALS).alias("psi"))
-        .select(F.col("k").alias(key_col), "n_a", "n_b", "psi")
+    )
+
+
+def drift_counts_stream(
+    rows: DataFrame,
+    key_col: str,
+    value_col: str,
+    bucket_width: float,
+    n_buckets: int,
+) -> DataFrame:
+    """Streaming side of the drift monitor: maintain the live
+    ``(k, bucket) -> count`` histogram of an event stream as a PLAIN
+    streaming aggregation (counts merge by sum — the count-min
+    precedent; no custom state processor). State is
+    |keys| x n_buckets cells regardless of stream length; update-mode
+    emissions are changed cells, counts monotone per cell, so
+    latest-per-cell is the current histogram. The consumer joins the
+    latest cells against a static REFERENCE histogram and computes
+    PSI with :func:`psi_from_counts` per micro-batch or on demand —
+    the standard continuous-monitoring deployment (train-time
+    reference vs live traffic)."""
+    return (
+        rows.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).alias("k"),
+            value_bucket(F.col(value_col), bucket_width, n_buckets).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("k", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
 
 

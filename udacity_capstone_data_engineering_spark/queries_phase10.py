@@ -380,3 +380,82 @@ def orc_roundtrip_orders(spark, sf_dir):
     base = tempfile.mkdtemp(prefix="spark_orc_gate_")
     path = write_files(orders, base, "orders_orc", file_format="orc")
     return spark.read.orc(path).select(*orders.columns)
+
+
+# ---------------------------------------------------------------------------
+# Dedup: incremental ingest against an existing fingerprint index
+# ---------------------------------------------------------------------------
+
+_INGEST_MOD = 10  # doc_id % 10 == 0 -> the "incoming" batch
+
+
+@_register(
+    "incremental_ingest_dedup",
+    f"""
+    WITH fp AS (
+      SELECT doc_id,
+             {portable_hash64_sql("text")} AS fingerprint,
+             (doc_id % {_INGEST_MOD} = 0) AS incoming
+      FROM documents),
+    existing AS (SELECT DISTINCT fingerprint FROM fp WHERE NOT incoming),
+    inc AS (SELECT doc_id, fingerprint FROM fp WHERE incoming)
+    SELECT i.doc_id,
+           (e.fingerprint IS NOT NULL) AS dup_of_existing,
+           EXISTS (SELECT 1 FROM inc j
+                   WHERE j.fingerprint = i.fingerprint
+                     AND j.doc_id < i.doc_id) AS dup_within_batch,
+           (e.fingerprint IS NULL AND NOT EXISTS (
+               SELECT 1 FROM inc j
+               WHERE j.fingerprint = i.fingerprint
+                 AND j.doc_id < i.doc_id)) AS accept
+    FROM inc i LEFT JOIN existing e ON i.fingerprint = e.fingerprint
+    """,
+)
+def incremental_ingest_dedup(spark, sf_dir):
+    """The dedup shape production actually runs: a corpus is NEVER
+    re-deduped whole — an incoming batch is checked against the
+    standing fingerprint index (one fp-keyed join) and against itself
+    (smaller-id window within the batch). Verdict per incoming doc:
+    dup_of_existing / dup_within_batch / accept. The incoming batch
+    here is the deterministic doc_id % 10 == 0 slice standing in for
+    a new crawl dump; the 'index' is the rest of the corpus. Scale
+    shape: everything is keyed on the 60-bit content fingerprint —
+    one hash join against the index (which at 100 TB is a bucketed
+    fingerprint table, not a corpus scan) and one fingerprint-keyed
+    window inside the batch."""
+    from udacity_capstone_data_engineering_spark.functions.hashing import (
+        portable_hash64 as ph64,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", ph64(F.col("text")).alias("fingerprint")
+    )
+    incoming = docs.filter(F.col("doc_id") % _INGEST_MOD == 0)
+    existing = (
+        docs.filter(F.col("doc_id") % _INGEST_MOD != 0)
+        .select("fingerprint")
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("fingerprint")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = incoming.select(
+        "doc_id",
+        "fingerprint",
+        (F.count(F.lit(1)).over(w) > 0).alias("dup_within_batch"),
+    )
+    out = flagged.join(existing, "fingerprint", "left").select(
+        "doc_id",
+        F.coalesce(F.col("__hit"), F.lit(False)).alias("dup_of_existing"),
+        "dup_within_batch",
+        (
+            ~F.coalesce(F.col("__hit"), F.lit(False))
+            & ~F.col("dup_within_batch")
+        ).alias("accept"),
+    )
+    return out
