@@ -130,6 +130,8 @@ HEADLINE = [
     "weighted_sample_docs",
     # round 5f batch 3: incremental-ingest dedup (fingerprint index join)
     "incremental_ingest_dedup",
+    # round 5f batch 3: correlation matrix (PCA prep from gram machinery)
+    "embedding_corr_matrix",
 ]
 
 

@@ -165,6 +165,45 @@ PICK = {
         "map-only (no self-join), ONE aggregation exchange onto "
         "d^2-bounded cells with map-side combine."
     ),
+    "bigram_lm_quality": (
+        "Bigram LM scoring (r5f): token stream reduced to per-doc gram "
+        "counts map-side BEFORE any join; model tables are gram-keyed "
+        "aggregates of that relation; 1-row vocabulary broadcast "
+        "(documented BNLJ); doc-keyed final aggregation."
+    ),
+    "psi_event_drift": (
+        "PSI drift (r5f): ONE counting pass over the event stream with "
+        "partial aggregation; every later exchange carries only the "
+        "keys x periods x buckets grid (plan-tested: no exchange keys "
+        "on the raw value column)."
+    ),
+    "semantic_dedup_eps": (
+        "SemDeDup (r5f): within-cluster pair join is an EQUI-join on "
+        "the k-means cluster id — candidate volume sum-of-cluster-"
+        "sizes-squared, never corpus-squared; exact integer eps-ball."
+    ),
+    "incremental_ingest_dedup": (
+        "Incremental ingest (r5f): one fingerprint-keyed hash join "
+        "against the standing index + one fingerprint-keyed smaller-id "
+        "window inside the batch; no corpus rescan shape."
+    ),
+    "weighted_sample_docs": (
+        "Weighted sample (r5f): deterministic Efraimidis-Spirakis keys; "
+        "top-N is TakeOrderedAndProject (per-partition heaps + k-merge); "
+        "the rank window runs on the N survivors only."
+    ),
+    "embedding_corr_matrix": (
+        "Correlation matrix (r5f): the gram machinery (map-only HOF "
+        "explode, d^2-bounded aggregation) joined against d-sized "
+        "broadcast sums/vars; only the final expression touches doubles "
+        "(sqrt makes rounding ties measure-zero)."
+    ),
+    "copurchase_kcore": (
+        "k-core (r5f): the final plan shows only the closing degree "
+        "count — each of the 10 peel rounds (degree agg + two LEFT-SEMI "
+        "joins on the edge list) runs behind a per-round localCheckpoint "
+        "lineage cut; the round plan is asserted in tests/test_phase10."
+    ),
 }
 
 HEADER = """# PLANS — physical plans of headline queries (sf0.01, AQE on)

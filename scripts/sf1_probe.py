@@ -360,6 +360,7 @@ REL_QUERIES = [
     "doc_token_entropy",
     "weighted_sample_docs",
     "incremental_ingest_dedup",
+    "embedding_corr_matrix",
 ]
 
 

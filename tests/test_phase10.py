@@ -566,3 +566,24 @@ def test_drift_stream_matches_batch_psi(spark, tmp_path):
     # a real drift signal: 'click' gained a far bucket -> psi > 0
     psi_by_key = {t[0]: t[3] for t in got}
     assert psi_by_key["click"] > 0.1
+
+
+# ---------------------------------------------------------------------------
+# correlation matrix
+# ---------------------------------------------------------------------------
+
+
+def test_corr_matrix_equals_numpy(spark, sf_dir):
+    import numpy as np
+
+    rows = load_table(spark, sf_dir, "embeddings").select("embedding").collect()
+    qv = np.floor(
+        np.array([r["embedding"] for r in rows], dtype=np.float64) * 1024 + 0.5
+    )
+    want = np.corrcoef(qv, rowvar=False)
+    got = QUERIES["embedding_corr_matrix"](spark, sf_dir).collect()
+    d = qv.shape[1]
+    assert len(got) == d * (d - 1) // 2
+    for r in got:
+        assert abs(r["corr"] - want[r["i"] - 1, r["j"] - 1]) < 1e-5, (r["i"], r["j"])
+        assert -1.0 - 1e-9 <= r["corr"] <= 1.0 + 1e-9

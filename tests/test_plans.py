@@ -448,6 +448,8 @@ def test_no_cartesian_anywhere_and_bnlj_only_where_documented(spark, sf_dir):
         "bm25_topk_docs",
         # r5f: the bigram LM's 1-row vocabulary-size broadcast
         "bigram_lm_quality",
+        # r5f: the correlation matrix's 1-row n broadcast (twice)
+        "embedding_corr_matrix",
     }
     offenders_cart, offenders_bnlj = [], []
     for name, (fn, _) in sorted(_REGISTRY.items()):

@@ -459,3 +459,138 @@ def incremental_ingest_dedup(spark, sf_dir):
         ).alias("accept"),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Linear algebra: correlation matrix from the integer gram machinery
+# ---------------------------------------------------------------------------
+
+_CORR_SCALE = 1024
+
+_CORR_SQL = f"""
+    WITH q AS (
+      SELECT list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * {_CORR_SCALE} + 0.5)
+                           AS BIGINT)) AS qv
+      FROM embeddings),
+    cells AS (
+      SELECT u.i AS i, u.j AS j, CAST(sum(u.p) AS BIGINT) AS g FROM (
+        SELECT unnest(flatten(list_transform(range(1, len(qv) + 1),
+                   i -> list_transform(range(i, len(qv) + 1),
+                       j -> {{'i': i, 'j': j, 'p': qv[i] * qv[j]}})))) AS u
+        FROM q)
+      GROUP BY 1, 2),
+    sums AS (
+      SELECT v.dim AS dim, CAST(sum(v.val) AS BIGINT) AS s FROM (
+        SELECT unnest(list_transform(range(1, len(qv) + 1),
+                   d -> {{'dim': d, 'val': qv[d]}})) AS v
+        FROM q)
+      GROUP BY 1),
+    stats AS (SELECT count(*) AS n FROM q),
+    var AS (
+      SELECT c.i AS dim, (s.n * c.g - m.s * m.s) AS v
+      FROM cells c JOIN sums m ON m.dim = c.i CROSS JOIN stats s
+      WHERE c.i = c.j)
+    SELECT CAST(c.i AS INTEGER) AS i, CAST(c.j AS INTEGER) AS j,
+           ROUND((st.n * c.g - si.s * sj.s)
+                 / sqrt(CAST(vi.v AS DOUBLE) * CAST(vj.v AS DOUBLE)),
+                 6) AS corr
+    FROM cells c
+    JOIN sums si ON si.dim = c.i
+    JOIN sums sj ON sj.dim = c.j
+    JOIN var vi ON vi.dim = c.i
+    JOIN var vj ON vj.dim = c.j
+    CROSS JOIN stats st
+    WHERE c.i < c.j
+"""
+
+
+@_register("embedding_corr_matrix", _CORR_SQL)
+def embedding_corr_matrix(spark, sf_dir):
+    """Pearson correlation matrix of the embedding dimensions, derived
+    from the integer gram machinery (`embedding_gram_matrix`'s map-only
+    outer-product reduction): corr_ij = (n*G_ij - S_i*S_j) /
+    sqrt((n*G_ii - S_i^2)(n*G_jj - S_j^2)) with every G/S/n an exact
+    BIGINT, so only the final expression touches doubles — and its
+    sqrt makes rounding ties measure-zero (the documented safe case).
+    This is the whitening/PCA input: the driver takes the d^2-sized
+    output and eigendecomposes locally. Scale shape identical to the
+    gram query — one map-only HOF explode, one d^2-bounded
+    aggregation, then joins against the d-sized sums/vars relations
+    (broadcast). Overflow: n*G <= n^2*(scale*max|x|)^2 — at 1e9+ rows
+    drop the quantization scale, precision is relative (the PageRank
+    rescaling note applies)."""
+    vecs = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
+    d = F.size("qv")
+    q = vecs.select(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * _CORR_SCALE + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("qv")
+    ).persist()
+    cells = (
+        q.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), d),
+                        lambda i: F.transform(
+                            F.sequence(i, d),
+                            lambda j: F.struct(
+                                i.cast("int").alias("i"),
+                                j.cast("int").alias("j"),
+                                (
+                                    F.element_at("qv", i) * F.element_at("qv", j)
+                                ).alias("p"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("u")
+        )
+        .select("u.i", "u.j", "u.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("g"))
+    )
+    sums = (
+        q.select(F.posexplode("qv").alias("dim0", "val"))
+        .select((F.col("dim0") + 1).alias("dim"), "val")
+        .groupBy("dim")
+        .agg(F.sum("val").alias("s"))
+    )
+    stats = q.agg(F.count(F.lit(1)).alias("n"))
+    var = (
+        cells.filter(F.col("i") == F.col("j"))
+        .join(F.broadcast(sums), F.col("i") == F.col("dim"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("i").alias("vdim"),
+            (F.col("n") * F.col("g") - F.col("s") * F.col("s")).alias("v"),
+        )
+    )
+    si = sums.select(F.col("dim").alias("i"), F.col("s").alias("si"))
+    sj = sums.select(F.col("dim").alias("j"), F.col("s").alias("sj"))
+    vi = var.select(F.col("vdim").alias("i"), F.col("v").alias("vi"))
+    vj = var.select(F.col("vdim").alias("j"), F.col("v").alias("vj"))
+    out = (
+        cells.filter(F.col("i") < F.col("j"))
+        .join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .join(F.broadcast(vi), "i")
+        .join(F.broadcast(vj), "j")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "i",
+            "j",
+            F.round(
+                (F.col("n") * F.col("g") - F.col("si") * F.col("sj"))
+                / F.sqrt(
+                    F.col("vi").cast("double") * F.col("vj").cast("double")
+                ),
+                6,
+            ).alias("corr"),
+        )
+    )
+    return out
