@@ -132,6 +132,8 @@ HEADLINE = [
     "incremental_ingest_dedup",
     # round 5f batch 3: correlation matrix (PCA prep from gram machinery)
     "embedding_corr_matrix",
+    # round 5f batch 3: the composite document quality gate
+    "full_quality_gate",
 ]
 
 

@@ -361,6 +361,7 @@ REL_QUERIES = [
     "weighted_sample_docs",
     "incremental_ingest_dedup",
     "embedding_corr_matrix",
+    "full_quality_gate",
 ]
 
 

@@ -587,3 +587,60 @@ def test_corr_matrix_equals_numpy(spark, sf_dir):
     for r in got:
         assert abs(r["corr"] - want[r["i"] - 1, r["j"] - 1]) < 1e-5, (r["i"], r["j"])
         assert -1.0 - 1e-9 <= r["corr"] <= 1.0 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# full quality gate
+# ---------------------------------------------------------------------------
+
+
+def test_full_quality_gate_flags_injected_docs(spark, tmp_path):
+    """A fluent doc passes every branch; a one-token-repeated doc
+    fails entropy (H = 0) and repetition; an 8-word doc fails the
+    Gopher word-count rule. The composite keep is the conjunction."""
+    import random
+
+    rng = random.Random(3)
+    stop = ["the", "and", "of", "to", "is", "that"]
+    words = [f"w{i}xyz"[: rng.randint(3, 8)] for i in range(300)]
+    fluent = " ".join(
+        (stop[i % len(stop)] if i % 7 == 0 else words[rng.randint(0, 299)])
+        for i in range(80)
+    )
+    rows = [
+        (1, fluent),
+        (2, " ".join(["spam"] * 80)),
+        (3, "too short to pass the gate"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text")
+    )
+    d = tmp_path / "gate_sf"
+    df.write.parquet(str(d / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["full_quality_gate"](spark, str(d)).collect()
+    }
+    assert out[1]["keep"] is True, out[1]
+    assert out[2]["entropy_ok"] is False
+    assert out[2]["repetition_keep"] is False
+    assert out[2]["keep"] is False
+    assert out[3]["gopher_keep"] is False
+    assert out[3]["keep"] is False
+
+
+def test_full_quality_gate_consistent_with_branches(spark, sf_dir):
+    out = QUERIES["full_quality_gate"](spark, sf_dir)
+    bad = out.filter(
+        F.col("keep")
+        != (
+            F.col("gopher_keep")
+            & F.col("repetition_keep")
+            & F.col("lm_ok")
+            & F.col("entropy_ok")
+        )
+    ).count()
+    assert bad == 0
+    assert out.count() == load_table(spark, sf_dir, "documents").count()

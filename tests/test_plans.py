@@ -450,6 +450,8 @@ def test_no_cartesian_anywhere_and_bnlj_only_where_documented(spark, sf_dir):
         "bigram_lm_quality",
         # r5f: the correlation matrix's 1-row n broadcast (twice)
         "embedding_corr_matrix",
+        # r5f: the composite gate inherits the LM's vocab broadcast
+        "full_quality_gate",
     }
     offenders_cart, offenders_bnlj = [], []
     for name, (fn, _) in sorted(_REGISTRY.items()):

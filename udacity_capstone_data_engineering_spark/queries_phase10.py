@@ -239,9 +239,7 @@ def copurchase_kcore(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@_register(
-    "doc_token_entropy",
-    f"""
+_ENTROPY_SQL = f"""
     WITH toks AS (
       SELECT doc_id AS doc,
              unnest(list_filter(regexp_split_to_array(trim(lower(text)),
@@ -263,8 +261,10 @@ def copurchase_kcore(spark, sf_dir):
     SELECT doc AS doc_id, n AS n_tokens,
            -CAST(q AS DOUBLE) / 1000000.0 AS entropy
     FROM fixedpt
-    """,
-)
+    """
+
+
+@_register("doc_token_entropy", _ENTROPY_SQL)
 def doc_token_entropy(spark, sf_dir):
     """Unigram Shannon entropy per document — the third text-quality
     signal next to the Gopher rules and the bigram LM score: low
@@ -594,3 +594,102 @@ def embedding_corr_matrix(spark, sf_dir):
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# The composite document quality gate
+# ---------------------------------------------------------------------------
+
+_LM_MIN = -4.0  # mean bigram log-prob floor (corpus-typical is ~ -3.4)
+_ENT_MIN = 1.5  # unigram entropy floor (templated docs sit near 0)
+
+
+def _quality_gate_oracle_sql() -> str:
+    from udacity_capstone_data_engineering_spark.operators.ngram_lm import (
+        bigram_lm_oracle_sql,
+    )
+    from udacity_capstone_data_engineering_spark.operators.repetition import (
+        repetition_flags_oracle_sql,
+    )
+    from udacity_capstone_data_engineering_spark.queries_phase4 import (
+        _GOPHER_SQL,
+    )
+
+    return f"""
+    SELECT g.doc_id,
+           g.keep AS gopher_keep,
+           COALESCE(r.keep, FALSE) AS repetition_keep,
+           COALESCE(l.avg_logp >= {_LM_MIN}, FALSE) AS lm_ok,
+           COALESCE(e.entropy >= {_ENT_MIN}, FALSE) AS entropy_ok,
+           (g.keep AND COALESCE(r.keep, FALSE)
+            AND COALESCE(l.avg_logp >= {_LM_MIN}, FALSE)
+            AND COALESCE(e.entropy >= {_ENT_MIN}, FALSE)) AS keep
+    FROM ({_GOPHER_SQL}) g
+    LEFT JOIN ({repetition_flags_oracle_sql("documents")}) r
+      ON r.doc_id = g.doc_id
+    LEFT JOIN ({bigram_lm_oracle_sql("documents")}) l
+      ON l.doc_id = g.doc_id
+    LEFT JOIN ({_ENTROPY_SQL}) e ON e.doc_id = g.doc_id
+    """
+
+
+@_register("full_quality_gate", _quality_gate_oracle_sql())
+def full_quality_gate(spark, sf_dir):
+    """THE quality gate an LLM data pipeline actually ships: every
+    per-document quality signal the engine computes — Gopher format
+    rules, Gopher repetition rules, bigram-LM score, unigram entropy —
+    joined on doc_id into one keep verdict. Each signal is itself an
+    oracle-gated query; the composite proves they agree on a shared
+    spine and demonstrates the intended composition (a production run
+    materializes the signal columns once and filters shards on
+    `keep`). All four branches scan the same corpus: at 100 TB the
+    signals pipeline into one pass over a cached/persisted scan or
+    run as separate column-producing jobs against the same shards —
+    either way the joins here are doc_id-keyed hash joins of
+    doc-count-sized relations, never data blowups. Threshold
+    comparisons happen on exact-grid doubles (every score is a
+    rounded fixed-point emission), so the booleans are engine-exact."""
+    from udacity_capstone_data_engineering_spark.functions.text import (
+        gopher_quality_flags,
+    )
+    from udacity_capstone_data_engineering_spark.operators.ngram_lm import (
+        bigram_lm_scores,
+    )
+    from udacity_capstone_data_engineering_spark.operators.repetition import (
+        repetition_flags,
+    )
+
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    g = gopher_quality_flags(docs, "text", "doc_id").select(
+        "doc_id", F.col("keep").alias("gopher_keep")
+    )
+    r = repetition_flags(docs, "text", "doc_id").select(
+        "doc_id", F.col("keep").alias("repetition_keep")
+    )
+    lm = bigram_lm_scores(docs, "text", "doc_id").select(
+        "doc_id", (F.col("avg_logp") >= _LM_MIN).alias("lm_ok")
+    )
+    ent = doc_token_entropy(spark, sf_dir).select(
+        "doc_id", (F.col("entropy") >= _ENT_MIN).alias("entropy_ok")
+    )
+    out = (
+        g.join(r, "doc_id", "left")
+        .join(lm, "doc_id", "left")
+        .join(ent, "doc_id", "left")
+        .select(
+            "doc_id",
+            "gopher_keep",
+            F.coalesce("repetition_keep", F.lit(False)).alias(
+                "repetition_keep"
+            ),
+            F.coalesce("lm_ok", F.lit(False)).alias("lm_ok"),
+            F.coalesce("entropy_ok", F.lit(False)).alias("entropy_ok"),
+        )
+    )
+    return out.withColumn(
+        "keep",
+        F.col("gopher_keep")
+        & F.col("repetition_keep")
+        & F.col("lm_ok")
+        & F.col("entropy_ok"),
+    )
