@@ -198,6 +198,11 @@ PICK = {
         "broadcast sums/vars; only the final expression touches doubles "
         "(sqrt makes rounding ties measure-zero)."
     ),
+    "full_quality_gate": (
+        "Composite quality gate (r5f): four doc-keyed signal branches "
+        "(format, repetition, LM, entropy) hash-joined on doc_id; the "
+        "only BNLJ is the LM branch's 1-row vocabulary broadcast."
+    ),
     "copurchase_kcore": (
         "k-core (r5f): the final plan shows only the closing degree "
         "count — each of the 10 peel rounds (degree agg + two LEFT-SEMI "
