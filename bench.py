@@ -134,6 +134,9 @@ HEADLINE = [
     "embedding_corr_matrix",
     # round 5f batch 3: the composite document quality gate
     "full_quality_gate",
+    # round 5f batch 4: recsys item-item similarity + topic labels
+    "item_similarity_jaccard",
+    "cluster_top_terms_ctfidf",
 ]
 
 

@@ -362,6 +362,8 @@ REL_QUERIES = [
     "incremental_ingest_dedup",
     "embedding_corr_matrix",
     "full_quality_gate",
+    "item_similarity_jaccard",
+    "cluster_top_terms_ctfidf",
 ]
 
 

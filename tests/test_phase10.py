@@ -644,3 +644,68 @@ def test_full_quality_gate_consistent_with_branches(spark, sf_dir):
     ).count()
     assert bad == 0
     assert out.count() == load_table(spark, sf_dir, "documents").count()
+
+
+# ---------------------------------------------------------------------------
+# item similarity + c-TF-IDF
+# ---------------------------------------------------------------------------
+
+
+def test_item_similarity_matches_python(spark, sf_dir):
+    """Replay Jaccard-top-5 in plain Python over the same baskets."""
+    from collections import defaultdict
+
+    got = defaultdict(list)
+    for r in QUERIES["item_similarity_jaccard"](spark, sf_dir).collect():
+        got[r["part"]].append((r["other"], r["jaccard"]))
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = {(r["l_orderkey"], r["l_partkey"]) for r in
+             li.select("l_orderkey", "l_partkey").distinct().collect()}
+    baskets = defaultdict(set)
+    for ok, pk in items:
+        baskets[pk].add(ok)
+    co = defaultdict(int)
+    per_order = defaultdict(list)
+    for ok, pk in items:
+        per_order[ok].append(pk)
+    for parts in per_order.values():
+        parts = sorted(parts)
+        for i, a in enumerate(parts):
+            for b in parts[i + 1:]:
+                co[(a, b)] += 1
+    neigh = defaultdict(list)
+    for (a, b), c in co.items():
+        den = len(baskets[a]) + len(baskets[b]) - c
+        num = c * 10**9
+        half = den * 1000
+        t = 2 * num + half
+        q = (t - (((t % (2 * half)) + 2 * half) % (2 * half))) // (2 * half)
+        j = q / 1e6
+        neigh[a].append((b, j))
+        neigh[b].append((a, j))
+    for part, pairs in got.items():
+        want = sorted(neigh[part], key=lambda x: (-x[1], x[0]))[:5]
+        assert sorted(pairs, key=lambda x: (-x[1], x[0])) == want, part
+
+
+def test_item_similarity_plan_group_limit(spark, sf_dir):
+    plan = _plan(QUERIES["item_similarity_jaccard"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ctfidf_shape_and_ranking(spark, sf_dir):
+    rows = QUERIES["cluster_top_terms_ctfidf"](spark, sf_dir).collect()
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for cluster, rs in by_cluster.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        assert len(rs) <= 5
+        # scores are positive and non-increasing with rank
+        ordered = sorted(rs, key=lambda r: r["rank"])
+        for a, b in zip(ordered, ordered[1:]):
+            assert a["score"] >= b["score"]
+        assert all(r["score"] > 0 for r in rs)

@@ -452,6 +452,8 @@ def test_no_cartesian_anywhere_and_bnlj_only_where_documented(spark, sf_dir):
         "embedding_corr_matrix",
         # r5f: the composite gate inherits the LM's vocab broadcast
         "full_quality_gate",
+        # r5f: c-TF-IDF's 1-row mean-tokens-per-cluster broadcast
+        "cluster_top_terms_ctfidf",
     }
     offenders_cart, offenders_bnlj = [], []
     for name, (fn, _) in sorted(_REGISTRY.items()):

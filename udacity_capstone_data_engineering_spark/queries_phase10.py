@@ -693,3 +693,230 @@ def full_quality_gate(spark, sf_dir):
         & F.col("lm_ok")
         & F.col("entropy_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Recsys: item-item similarity over co-purchase baskets
+# ---------------------------------------------------------------------------
+
+_SIM_TOPK = 5
+
+
+@_register(
+    "item_similarity_jaccard",
+    f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    basket_n AS (
+      SELECT l_partkey AS part, count(*) AS n FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS c
+      FROM items a
+      JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    sym AS (
+      SELECT pa AS part, pb AS other, c FROM pairs
+      UNION ALL SELECT pb, pa, c FROM pairs),
+    scored AS (
+      SELECT s.part, s.other,
+             CAST({exact_round_div_sql("s.c * 1000000000", "(na.n + nb.n - s.c)", 3)} AS DOUBLE) / 1000000.0 AS jaccard
+      FROM sym s
+      JOIN basket_n na ON na.part = s.part
+      JOIN basket_n nb ON nb.part = s.other)
+    SELECT part, other, jaccard FROM (
+      SELECT part, other, jaccard,
+             row_number() OVER (PARTITION BY part
+                                ORDER BY jaccard DESC, other) AS rn
+      FROM scored)
+    WHERE rn <= {_SIM_TOPK}
+    """,
+)
+def item_similarity_jaccard(spark, sf_dir):
+    """Item-item collaborative similarity (the classic recsys
+    neighborhood model): Jaccard of the order-basket sets,
+    J(a,b) = |A∩B| / (|A| + |B| - |A∩B|), top-5 neighbors per part
+    under a (jaccard, other) total order. Co-occurrence counts come
+    from the same basket self-join as the co-purchase graph — at
+    scale that join is bounded by sum-of-basket-sizes-squared (basket
+    sizes are small and capped in practice), never items-squared; the
+    per-part top-k runs as a WindowGroupLimit-pushed ranked window.
+    The similarity is a small-integer rational — exactly the
+    divide-then-round hazard class — so it is rounded to the 1e-6
+    grid in exact BIGINT arithmetic (functions/fixedpoint.py), and
+    the ranking orders by the rounded value with the id tiebreak."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    basket_n = items.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sym = pairs.select(
+        F.col("pa").alias("part"), F.col("pb").alias("other"), "c"
+    ).union(
+        pairs.select(
+            F.col("pb").alias("part"), F.col("pa").alias("other"), "c"
+        )
+    )
+    na = basket_n.select(F.col("part"), F.col("n").alias("na"))
+    nb = basket_n.select(F.col("part").alias("other"), F.col("n").alias("nb"))
+    scored = (
+        sym.join(na, "part")
+        .join(nb, "other")
+        .select(
+            "part",
+            "other",
+            (
+                exact_round_div(
+                    F.col("c") * F.lit(10**9),
+                    F.col("na") + F.col("nb") - F.col("c"),
+                    3,
+                ).cast("double")
+                / F.lit(1e6)
+            ).alias("jaccard"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("part").orderBy(F.desc("jaccard"), "other")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _SIM_TOPK)
+        .select("part", "other", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Topic labeling: c-TF-IDF top terms per embedding cluster
+# ---------------------------------------------------------------------------
+
+_CTFIDF_TOPK = 5
+
+
+def _ctfidf_oracle_sql() -> str:
+    from udacity_capstone_data_engineering_spark.operators.kmeans import (
+        kmeans_oracle_blocks,
+    )
+
+    blocks, final = kmeans_oracle_blocks("embeddings")
+    erd = exact_round_div_sql("s.tf * s.u", "1", 3)
+    return (
+        "WITH "
+        + ",\n    ".join(blocks)
+        + f""",
+    doc_cluster AS (
+      SELECT d.doc_id, a.cluster, d.text
+      FROM documents d JOIN {final} a ON d.doc_id = a.vid),
+    toks AS (
+      SELECT cluster,
+             unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+                                                      '\\s+'), t -> t <> ''))
+               AS token
+      FROM doc_cluster),
+    tf AS (SELECT cluster, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    ft AS (SELECT token, sum(tf) AS ft FROM tf GROUP BY 1),
+    stats AS (
+      SELECT CAST(sum(tf) AS DOUBLE) / count(DISTINCT cluster) AS a
+      FROM tf),
+    scored AS (
+      SELECT tf.cluster, tf.token, tf.tf,
+             CAST(CAST(CAST(ROUND(ln(1 + stats.a / ft.ft), 9)
+                   AS DECIMAL(18,9)) AS DECIMAL(28,9)) * 1000000000
+                 AS BIGINT) AS u
+      FROM tf JOIN ft USING (token) CROSS JOIN stats)
+    SELECT cluster, CAST(rn AS INTEGER) AS rank, token, tf,
+           CAST({erd.replace('s.tf * s.u', 'tf * u')} AS DOUBLE)
+             / 1000000.0 AS score
+    FROM (
+      SELECT cluster, token, tf, u,
+             row_number() OVER (
+               PARTITION BY cluster
+               ORDER BY tf * u DESC, token) AS rn
+      FROM scored)
+    WHERE rn <= {_CTFIDF_TOPK}
+    """
+    )
+
+
+@_register("cluster_top_terms_ctfidf", _ctfidf_oracle_sql())
+def cluster_top_terms_ctfidf(spark, sf_dir):
+    """BERTopic-style topic labels: cluster the embedding corpus with
+    the exact-integer Lloyd, join clusters onto the documents, and
+    rank each cluster's terms by c-TF-IDF —
+    score(t,c) = tf_{t,c} * ln(1 + A / f_t) with A the mean tokens
+    per cluster and f_t the corpus term frequency. The class-based
+    idf is what separates a cluster's CHARACTERISTIC terms from mere
+    frequency. Determinism: the ln factor is quantized to BIGINT 1e-9
+    units, the score ordering uses the exact integer product
+    tf * units with a token tiebreak (WindowGroupLimit pushes the
+    top-5), and the emitted score is rounded on the exact grid
+    (functions/fixedpoint.py). Scale: tf/f_t are gram-keyed
+    aggregates; the cluster relation is doc-count-sized; the only
+    window is per-cluster top-k."""
+    from udacity_capstone_data_engineering_spark.operators.kmeans import (
+        kmeans_int,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    vecs = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
+    assign = kmeans_int(vecs, "vec_id", "embedding").select(
+        F.col("vec_id").alias("doc_id"), "cluster"
+    )
+    dc = docs.join(assign, "doc_id").select("cluster", "text")
+    toks = dc.select(
+        "cluster",
+        F.explode(
+            F.filter(tokens(F.lower(F.col("text"))), lambda t: t != "")
+        ).alias("token"),
+    )
+    tf = toks.groupBy("cluster", "token").agg(F.count(F.lit(1)).alias("tf"))
+    ft = tf.groupBy("token").agg(F.sum("tf").alias("ft"))
+    stats = tf.agg(
+        (
+            F.sum("tf").cast("double") / F.count_distinct("cluster")
+        ).alias("a")
+    )
+    u = (
+        F.round(F.log(1 + F.col("a") / F.col("ft")), 9)
+        .cast("decimal(18,9)")
+        * F.lit(10**9)
+    ).cast("long")
+    scored = (
+        tf.join(ft, "token")
+        .crossJoin(F.broadcast(stats))
+        .select("cluster", "token", "tf", u.alias("u"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc(F.col("tf") * F.col("u")), "token"
+    )
+    score = (
+        exact_round_div(F.col("tf") * F.col("u"), F.lit(1), 3)
+        .cast("double")
+        / F.lit(1e6)
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _CTFIDF_TOPK)
+        .select(
+            "cluster",
+            F.col("rn").cast("int").alias("rank"),
+            "token",
+            "tf",
+            score.alias("score"),
+        )
+    )
