@@ -61,27 +61,35 @@ def _quantize(vecs: DataFrame, id_col: str, vec_col: str, scale: int) -> DataFra
 
 
 def _assign(q: DataFrame, cents: list[list[int]]) -> DataFrame:
-    """Map-only nearest-centroid assignment against literal centroids."""
+    """Map-only nearest-centroid assignment against literal centroids.
 
-    def d2(cv: list[int]):
-        lit = F.array(*[F.lit(int(v)).cast("long") for v in cv])
-        return F.aggregate(
-            F.zip_with("qv", lit, lambda a, b: (a - b) * (a - b)),
+    The distances live in ONE array column built by `transform` over a
+    k x d literal matrix, and the argmin is `array_min` +
+    `array_position` (first occurrence == smallest centroid id — the
+    same strict-< tie rule as a left-to-right argmin chain). Plan size
+    is O(k*d) literal nodes; the r5 formulation chained
+    `when(better, ...).otherwise(best_d)` with best_d re-embedded on
+    BOTH branches, an expression tree EXPONENTIAL in k — invisible at
+    the pinned k=4, a driver OOM at auto-k's k=32 (caught by the
+    round-6 sf0.1 gate on `semantic_dedup_autok`)."""
+    cent_lit = F.array(
+        *[F.array(*[F.lit(int(v)).cast("long") for v in cv]) for cv in cents]
+    )
+    dists = F.transform(
+        cent_lit,
+        lambda cv: F.aggregate(
+            F.zip_with("qv", cv, lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
-        )
-
-    out = q.select(
-        "vid", "qv", *[d2(cents[j]).alias(f"_d{j}") for j in range(len(cents))]
+        ),
     )
-    best_d = F.col("_d0")
-    best_c = F.lit(0)
-    for j in range(1, len(cents)):
-        better = F.col(f"_d{j}") < best_d
-        best_c = F.when(better, F.lit(j)).otherwise(best_c)
-        best_d = F.when(better, F.col(f"_d{j}")).otherwise(best_d)
+    out = q.select("vid", "qv", dists.alias("_dists"))
+    best_d = F.array_min("_dists")
     return out.select(
-        "vid", "qv", best_c.alias("cluster"), best_d.alias("dist_sq")
+        "vid",
+        "qv",
+        (F.array_position("_dists", best_d) - 1).cast("int").alias("cluster"),
+        best_d.alias("dist_sq"),
     )
 
 
@@ -122,7 +130,7 @@ def kmeans_oracle_blocks(
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = K,
+    k: int | str = K,
     iterations: int = ITERATIONS,
     scale: int = SCALE,
 ) -> tuple[list[str], str]:
@@ -130,7 +138,14 @@ def kmeans_oracle_blocks(
     ``(blocks, final_assignment_cte_name)`` so composite oracles
     (semantic dedup) can extend the same WITH chain. Floor division is
     spelled ``(s - ((s % c) + c) % c) / c`` — exact in pure integers,
-    equal to Python's ``//`` for negative sums too."""
+    equal to Python's ``//`` for negative sums too.
+
+    ``k`` may be an int (the pinned-k rows) or a SQL scalar expression
+    string (the auto-k tier: the cluster count derives from
+    ``count(*)`` of the quantized relation, so the oracle stays valid
+    when k scales with the corpus — the unrolling is per-ITERATION,
+    never per-k, which is what makes dynamic k expressible)."""
+    k_expr = f"({k})" if isinstance(k, str) else str(int(k))
     blocks = [
         f"""q AS (
       SELECT {id_col} AS vid,
@@ -146,7 +161,7 @@ def kmeans_oracle_blocks(
     cdim_0 AS (
       SELECT CAST(rn - 1 AS INTEGER) AS cid, dim, val FROM (
         SELECT vid, row_number() OVER (ORDER BY vid) AS rn FROM q) r
-      JOIN vdim USING (vid) WHERE rn <= {k})"""
+      JOIN vdim USING (vid) WHERE rn <= {k_expr})"""
     ]
     for t in range(1, iterations + 2):
         prev = f"cdim_{t - 1}"

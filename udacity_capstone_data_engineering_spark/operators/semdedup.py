@@ -32,10 +32,35 @@ to their component representative transitively.
 Scale blueprint at 100 TB: raise k so E[cluster] stays bounded
 (SemDeDup used 50k clusters for LAION); the pair stage is an
 equi-join ON CLUSTER — Spark shuffles both sides by cluster id and
-never materializes a corpus square. The demo query pins k=4 (the
-oracle unrolls per-k) and audits a deterministic 1-in-20 id sample,
-which is also the honest production shape for dedup-RATE estimation
-before committing to the full prune.
+never materializes a corpus square. Two mechanisms make that hold
+here (VERDICT r5 #1 — the fixed-k knob was the one remaining
+fixed-capacity design in the dedup family):
+
+- **auto-k** (``auto_k``): k = ceil(n / TARGET_CLUSTER), so the
+  expected cluster size — and with it the per-cluster pair volume —
+  is a CONSTANT as the corpus grows; total candidate pairs are
+  ~n * TARGET_CLUSTER / 2, linear in the corpus. The oracle stays a
+  full value-hash gate because the k-means CTE chain unrolls per
+  ITERATION, never per k: the cluster count enters the SQL as a
+  ``count(*)``-derived scalar subquery with the same integer formula.
+- **exact-collapse valve** (the LSH tier's boilerplate valve,
+  ``operators/dedup.collapse_exact_duplicates`` pattern): identical
+  QUANTIZED vectors collapse to their minimum-id representative
+  before the pair join. Semantics-preserving, proven: (i) every
+  non-representative is a dup of its rep (distance 0 <= eps, same
+  cluster, rep id < member id); (ii) if a non-rep x < y witnesses y,
+  then x's rep r <= x < y lies at the SAME distance from y (equal
+  qv), so r witnesses y too; (iii) a rep y flagged via non-rep x
+  implies r_x <= x < y, never a self-witness. This is what bounds
+  the hot-cluster skew case — k-means piles exact/near-exact twins
+  into ONE cluster no matter how large k is, and after the collapse
+  that cluster contributes its DISTINCT-vector count squared, not
+  its row count squared (duplicate-heavy fixture: 480 twins -> 1
+  representative; see tests/test_round6.py).
+
+The demo query pins k=4 (the hash anchor, unchanged since r5f) and
+audits a deterministic 1-in-20 id sample; ``semantic_dedup_autok``
+serves the production shape on the full corpus.
 """
 
 from __future__ import annotations
@@ -53,21 +78,51 @@ from udacity_capstone_data_engineering_spark.operators.kmeans import (
 
 EPS = 1_600_000  # quantized (scale=1024) squared L2; ~5% dup rate on testdata
 SAMPLE_MOD = 20  # deterministic 1-in-20 id sample for the audit query
+TARGET_CLUSTER = 64  # auto-k expected cluster size (pair volume ~ n*64/2)
+
+
+def auto_k(n: int, target_cluster: int = TARGET_CLUSTER) -> int:
+    """Cluster count for a corpus of ``n`` vectors: ceil(n / target),
+    floored at the pinned demo K and capped at n (Lloyd init takes the
+    k smallest ids). Pure integer arithmetic so the DuckDB twin
+    (``auto_k_sql``) is bit-equal."""
+    return max(1, min(n, max(K, -(-n // target_cluster))))
+
+
+def auto_k_sql(q_cte: str = "q", target_cluster: int = TARGET_CLUSTER) -> str:
+    """The same formula as a DuckDB scalar subquery over the quantized
+    CTE (``//`` is DuckDB integer division; counts are BIGINT, so the
+    ceil-division spelling ``(n + t - 1) // t`` is exact)."""
+    return (
+        f"SELECT GREATEST({K}, (count(*) + {target_cluster - 1}) "
+        f"// {target_cluster}) FROM {q_cte}"
+    )
 
 
 def semantic_dedup(
     vecs: DataFrame,
     id_col: str,
     vec_col: str,
-    k: int = K,
+    k: int | None = K,
     iterations: int = ITERATIONS,
     scale: int = SCALE,
     eps: int = EPS,
+    collapse: bool = True,
 ) -> DataFrame:
     """Cluster ``vecs`` with integer Lloyd, then flag every vector
     that has a smaller-id within-cluster neighbor at integer squared
     L2 <= eps. Returns ``(id_col, cluster, is_dup)`` over all input
-    vectors."""
+    vectors.
+
+    ``k=None`` auto-sizes the cluster count from the corpus
+    (``auto_k`` — one bounded ``count()``, the same class of driver
+    action as the Lloyd iteration collects). ``collapse`` routes the
+    pair stage through min-id representatives of identical quantized
+    vectors — identical results (the module docstring carries the
+    proof; ``test_semantic_dedup_collapse_equivalence`` checks it),
+    but per-cluster pair volume is distinct²  instead of rows²."""
+    if k is None:
+        k = auto_k(vecs.count())
     assign = kmeans_int(vecs, id_col, vec_col, k, iterations, scale).select(
         F.col(id_col).alias("vid"), "cluster"
     )
@@ -78,18 +133,36 @@ def semantic_dedup(
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    dups = (
-        a.alias("x")
+    if collapse:
+        # Representatives: min id per distinct quantized vector (qv
+        # determines the cluster — the argmin is a pure function of qv
+        # — so carrying cluster through the groupBy is free).
+        reps = a.groupBy("cluster", "qv").agg(F.min("vid").alias("vid"))
+        pair_side = reps.select("vid", "cluster", "qv")
+        # Every non-representative is a dup of its (smaller-id,
+        # distance-0) representative — no pair join needed for them.
+        grp_min = a.groupBy("qv").agg(F.min("vid").alias("rep_vid"))
+        nonrep = (
+            a.join(grp_min, "qv")
+            .filter(F.col("vid") != F.col("rep_vid"))
+            .select("vid")
+        )
+    else:
+        pair_side = a
+        nonrep = None
+    rep_dups = (
+        pair_side.alias("x")
         .join(
-            a.alias("y"),
+            pair_side.alias("y"),
             (F.col("x.cluster") == F.col("y.cluster"))
             & (F.col("x.vid") < F.col("y.vid")),
         )
         .filter(dist <= F.lit(eps))
         .select(F.col("y.vid").alias("vid"))
-        .distinct()
-        .withColumn("is_dup", F.lit(True))
     )
+    dups = (
+        rep_dups if nonrep is None else rep_dups.unionByName(nonrep)
+    ).distinct().withColumn("is_dup", F.lit(True))
     return assign.join(dups, "vid", "left").select(
         F.col("vid").alias(id_col),
         "cluster",
@@ -101,14 +174,16 @@ def semantic_dedup_oracle_sql(
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = K,
+    k: int | str = K,
     iterations: int = ITERATIONS,
     scale: int = SCALE,
     eps: int = EPS,
 ) -> str:
     """Extends the unrolled k-means WITH chain: within-cluster pairs,
     exact integer distance via the dimension-exploded relation, then
-    the smaller-id-neighbor flag."""
+    the smaller-id-neighbor flag. ``k`` passes through to
+    ``kmeans_oracle_blocks`` — an int for the pinned rows, a SQL
+    scalar expression (``auto_k_sql()``) for the auto-k row."""
     blocks, final = kmeans_oracle_blocks(
         table, id_col, vec_col, k, iterations, scale
     )

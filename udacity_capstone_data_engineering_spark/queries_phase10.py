@@ -24,6 +24,7 @@ from udacity_capstone_data_engineering_spark.operators.ngram_lm import (
 )
 from udacity_capstone_data_engineering_spark.operators.semdedup import (
     SAMPLE_MOD,
+    auto_k_sql,
     semantic_dedup,
     semantic_dedup_oracle_sql,
 )
@@ -116,6 +117,28 @@ def semantic_dedup_eps(spark, sf_dir):
         F.col("vec_id") % SAMPLE_MOD == 0
     )
     return semantic_dedup(fan_out_small_scan(vecs), "vec_id", "embedding")
+
+
+@_register(
+    "semantic_dedup_autok",
+    semantic_dedup_oracle_sql("embeddings", k=auto_k_sql("q")),
+)
+def semantic_dedup_autok(spark, sf_dir):
+    """SemDeDup at the production configuration (VERDICT r5 #1): the
+    cluster count AUTO-SCALES with the corpus — k = ceil(n / 64), so
+    the expected cluster size is a constant and the cluster-keyed pair
+    stage's candidate volume is ~n*64/2, LINEAR in the corpus (the
+    pinned-k=4 audit row `semantic_dedup_eps` stays the hash anchor;
+    at fixed k candidate volume is quadratic). Runs on the FULL
+    embeddings table: k=8 at n=500, k=32 at n=2000 — same integer
+    formula the DuckDB oracle evaluates as a count(*) scalar subquery,
+    so the entire auto-k result (cluster ids included) remains under
+    the full value-hash gate. The pair join routes through the
+    exact-collapse valve: identical quantized vectors compare once per
+    distinct vector, which is what keeps a twin-heavy hot cluster from
+    re-introducing the quadratic (``operators/semdedup.py``)."""
+    vecs = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
+    return semantic_dedup(vecs, "vec_id", "embedding", k=None)
 
 
 # ---------------------------------------------------------------------------
@@ -388,10 +411,7 @@ def orc_roundtrip_orders(spark, sf_dir):
 
 _INGEST_MOD = 10  # doc_id % 10 == 0 -> the "incoming" batch
 
-
-@_register(
-    "incremental_ingest_dedup",
-    f"""
+_INGEST_ORACLE = f"""
     WITH fp AS (
       SELECT doc_id,
              {portable_hash64_sql("text")} AS fingerprint,
@@ -409,8 +429,10 @@ _INGEST_MOD = 10  # doc_id % 10 == 0 -> the "incoming" batch
                WHERE j.fingerprint = i.fingerprint
                  AND j.doc_id < i.doc_id)) AS accept
     FROM inc i LEFT JOIN existing e ON i.fingerprint = e.fingerprint
-    """,
-)
+    """
+
+
+@_register("incremental_ingest_dedup", _INGEST_ORACLE)
 def incremental_ingest_dedup(spark, sf_dir):
     """The dedup shape production actually runs: a corpus is NEVER
     re-deduped whole — an incoming batch is checked against the
