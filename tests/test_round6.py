@@ -191,6 +191,143 @@ def test_bucketed_fp_index_matches_inplan_variant(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Real image codec (VERDICT r5 #3)
+# ---------------------------------------------------------------------------
+
+
+def _checker_image(w=6, h=5):
+    import numpy as np
+
+    r, c = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    img = np.stack(
+        [(r * 37 + c * 11) % 256, (r + c) % 256, (r * c * 7) % 256], axis=2
+    )
+    return img.astype(np.uint8)
+
+
+def _encode_bmp(img, top_down=False) -> bytes:
+    """Reference 24bpp BI_RGB encoder (independent of the decoder):
+    BGR byte order, 4-byte row padding, bottom-up unless top_down."""
+    import numpy as np
+
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = img[:, :, ::-1]  # RGB -> BGR
+    if not top_down:
+        rows = rows[::-1]
+    body = bytearray()
+    for r in range(h):
+        line = rows[r].astype(np.uint8).tobytes()
+        body += line + b"\x00" * (stride - len(line))
+    data_off = 54
+    height_field = h if not top_down else -h
+    header = (
+        b"BM"
+        + (data_off + len(body)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + data_off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + height_field.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(body).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    assert len(header) == 54
+    return bytes(header) + bytes(body)
+
+
+def test_decode_image_ppm_roundtrip():
+    import numpy as np
+
+    from udacity_capstone_data_engineering_spark.operators.multimodal import (
+        decode_image,
+        encode_ppm,
+    )
+
+    img = _checker_image()
+    assert np.array_equal(decode_image(encode_ppm(img)), img)
+    # header comments and multi-whitespace are legal P6
+    with_comment = b"P6\n# a comment\n6 5\n# more\n255\n" + img.tobytes()
+    assert np.array_equal(decode_image(with_comment), img)
+
+
+def test_decode_image_bmp_padding_and_orientation():
+    """Width 6 -> stride 20 (2 pad bytes/row): the decoder must strip
+    padding, undo BGR, and flip bottom-up rows; top-down (negative
+    height) decodes unflipped."""
+    import numpy as np
+
+    from udacity_capstone_data_engineering_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    img = _checker_image(w=6, h=5)
+    assert np.array_equal(decode_image(_encode_bmp(img)), img)
+    assert np.array_equal(decode_image(_encode_bmp(img, top_down=True)), img)
+
+
+def test_decode_image_error_contract():
+    import pytest
+
+    from udacity_capstone_data_engineering_spark.operators.multimodal import (
+        decode_image,
+        encode_ppm,
+    )
+
+    img = _checker_image()
+    with pytest.raises(ValueError):  # recognized format, truncated body
+        decode_image(encode_ppm(img)[:-7])
+    with pytest.raises(ValueError):
+        decode_image(b"P6\n6 x\n255\n")
+    with pytest.raises(ValueError):
+        decode_image(_encode_bmp(img)[:40])
+    with pytest.raises(NotImplementedError):  # needs a codec library
+        decode_image(b"\x89PNG\r\n\x1a\n....")
+    bmp8 = bytearray(_encode_bmp(img))
+    bmp8[28:30] = (8).to_bytes(2, "little")  # 8bpp variant
+    with pytest.raises(NotImplementedError):
+        decode_image(bytes(bmp8))
+
+
+def test_decode_image_stats_quarantine(spark):
+    """One corrupt + one unsupported payload in a batch must quarantine
+    (statusful null-stat rows), never fail the job; good payloads keep
+    exact integer channel sums."""
+    import numpy as np
+
+    from udacity_capstone_data_engineering_spark.operators.multimodal import (
+        decode_image_stats,
+        encode_ppm,
+    )
+
+    img = _checker_image()
+    good = encode_ppm(img)
+    rows = [
+        (1, bytearray(good)),
+        (2, bytearray(good[:-5])),  # truncated -> corrupt
+        (3, bytearray(b"\xff\xd8\xff\xe0 jpeg-ish")),  # -> unsupported
+        (4, bytearray(_encode_bmp(img))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        r["doc_id"]: r
+        for r in decode_image_stats(df, "payload", "doc_id").collect()
+    }
+    sums = img.astype(np.int64).sum(axis=(0, 1))
+    for did in (1, 4):
+        assert out[did]["status"] == "ok"
+        assert (out[did]["width"], out[did]["height"]) == (6, 5)
+        assert (
+            out[did]["r_sum"], out[did]["g_sum"], out[did]["b_sum"]
+        ) == tuple(int(s) for s in sums)
+    assert out[2]["status"] == "corrupt" and out[2]["r_sum"] is None
+    assert out[3]["status"] == "unsupported" and out[3]["width"] is None
+
+
 def test_semantic_dedup_autok_pair_join_cluster_keyed(spark, sf_dir):
     """The auto-k row keeps the SemDeDup scale property: the pair
     stage is an equi-join on the cluster id, never a cartesian."""

@@ -40,11 +40,210 @@ def attach_media_metadata(df: DataFrame, binary_col: str, media_type: str) -> Da
     )
 
 
-def decode_image(payload: bytes) -> object:
-    """STUB — image codecs are not installed in this container.
-    On a real cluster, swap in PIL/opencv here; the surrounding
-    ``mapInPandas`` plumbing is unchanged."""
-    raise NotImplementedError("image codecs unavailable; use fake_features()")
+def decode_image(payload: bytes):
+    """Real pure-numpy decoder for the two UNCOMPRESSED raster formats
+    (VERDICT r5 #3 — this replaced the r2–r5 NotImplementedError):
+
+    - **PPM P6** (binary NetPBM): ``P6`` magic, whitespace-separated
+      width/height/maxval header (``#`` comments legal per spec), then
+      ``h*w*3`` RGB bytes.
+    - **BMP** (Windows V3, BITMAPINFOHEADER): 24 bpp, BI_RGB
+      (uncompressed), rows bottom-up and padded to 4-byte boundaries,
+      BGR byte order — all undone here.
+
+    Returns an ``(h, w, 3)`` uint8 numpy array. Raises ``ValueError``
+    for a RECOGNIZED format with a malformed/truncated body (the
+    quarantine signal — `decode_image_stats` maps it to
+    status='corrupt' instead of failing the job), and
+    ``NotImplementedError`` for formats that need a real codec library
+    (PNG/JPEG/...); on a cluster with PIL/opencv installed those slot
+    in here and the surrounding ``mapInPandas`` plumbing is unchanged.
+    """
+    import numpy as np
+
+    if payload[:2] == b"P6":
+        # Header: three whitespace-separated ints after the magic,
+        # with '#'-to-EOL comments allowed between tokens.
+        pos, fields = 2, []
+        n = len(payload)
+        while len(fields) < 3:
+            while pos < n and payload[pos : pos + 1].isspace():
+                pos += 1
+            if pos < n and payload[pos : pos + 1] == b"#":
+                while pos < n and payload[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            start = pos
+            while pos < n and not payload[pos : pos + 1].isspace():
+                pos += 1
+            if pos == start:
+                raise ValueError("ppm: truncated header")
+            try:
+                fields.append(int(payload[start:pos]))
+            except ValueError:
+                raise ValueError("ppm: non-integer header field") from None
+        pos += 1  # single whitespace byte after maxval, per spec
+        w, h, maxval = fields
+        if w <= 0 or h <= 0 or not (0 < maxval < 256):
+            raise ValueError("ppm: bad dimensions/maxval")
+        body = payload[pos : pos + w * h * 3]
+        if len(body) < w * h * 3:
+            raise ValueError("ppm: truncated pixel data")
+        return np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3)
+
+    if payload[:2] == b"BM":
+        if len(payload) < 54:
+            raise ValueError("bmp: truncated header")
+        hdr = np.frombuffer(payload[:54], dtype=np.uint8)
+        data_off = int.from_bytes(payload[10:14], "little")
+        dib_size = int.from_bytes(payload[14:18], "little")
+        if dib_size < 40:
+            raise ValueError("bmp: not a BITMAPINFOHEADER")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        compression = int.from_bytes(payload[30:34], "little")
+        if bpp != 24 or compression != 0:
+            raise NotImplementedError(
+                f"bmp: only 24bpp BI_RGB decoded here (got bpp={bpp}, "
+                f"compression={compression}); install PIL/opencv for the rest"
+            )
+        if w <= 0 or h == 0:
+            raise ValueError("bmp: bad dimensions")
+        flip = h > 0  # positive height = bottom-up row order
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+        body = payload[data_off : data_off + stride * h]
+        if len(body) < stride * h:
+            raise ValueError("bmp: truncated pixel data")
+        rows = np.frombuffer(body, dtype=np.uint8).reshape(h, stride)
+        img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+        del hdr
+        return img[::-1] if flip else img
+
+    raise NotImplementedError(
+        "unrecognized image format (PNG/JPEG/... need a codec library; "
+        "PPM P6 and 24bpp BI_RGB BMP decode natively)"
+    )
+
+
+def encode_ppm(img) -> bytes:
+    """Inverse of the P6 path of ``decode_image`` — fixture helper so
+    tests can synthesize payloads without a codec library."""
+    h, w = img.shape[0], img.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + bytes(img.astype("uint8").tobytes())
+
+
+def decode_image_stats(
+    df: DataFrame, binary_col: str, id_col: str, batch_size: int = 256
+) -> DataFrame:
+    """Decode real image payloads and emit exact integer per-channel
+    statistics: ``(id, status, width, height, r_sum, g_sum, b_sum)``.
+
+    The quarantine contract: a payload that FAILS to decode produces a
+    row with status='corrupt' (recognized format, malformed body) or
+    status='unsupported' (format needing an external codec) and null
+    stats — one bad crawl object must never kill a 100 TB decode job,
+    and the quarantined ids remain joinable for triage. Channel sums
+    are exact BIGINTs (a sum of uint8s), so the whole result is
+    value-hash-gateable — no float path anywhere."""
+    schema = (
+        f"{id_col} long, status string, width int, height int, "
+        "r_sum long, g_sum long, b_sum long"
+    )
+
+    # Self-contained closure (workers can't import this package from an
+    # arbitrary driver CWD) — the decoder is re-declared inside.
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def decode(payload: bytes):
+            if payload[:2] == b"P6":
+                pos, fields, n = 2, [], len(payload)
+                while len(fields) < 3:
+                    while pos < n and payload[pos : pos + 1].isspace():
+                        pos += 1
+                    if pos < n and payload[pos : pos + 1] == b"#":
+                        while pos < n and payload[pos : pos + 1] != b"\n":
+                            pos += 1
+                        continue
+                    start = pos
+                    while pos < n and not payload[pos : pos + 1].isspace():
+                        pos += 1
+                    if pos == start:
+                        raise ValueError("ppm: truncated header")
+                    try:
+                        fields.append(int(payload[start:pos]))
+                    except ValueError:
+                        raise ValueError("ppm: bad header") from None
+                pos += 1
+                w, h, maxval = fields
+                if w <= 0 or h <= 0 or not (0 < maxval < 256):
+                    raise ValueError("ppm: bad dims")
+                body = payload[pos : pos + w * h * 3]
+                if len(body) < w * h * 3:
+                    raise ValueError("ppm: truncated")
+                return np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3)
+            if payload[:2] == b"BM":
+                if len(payload) < 54:
+                    raise ValueError("bmp: truncated header")
+                data_off = int.from_bytes(payload[10:14], "little")
+                if int.from_bytes(payload[14:18], "little") < 40:
+                    raise ValueError("bmp: not BITMAPINFOHEADER")
+                w = int.from_bytes(payload[18:22], "little", signed=True)
+                h = int.from_bytes(payload[22:26], "little", signed=True)
+                bpp = int.from_bytes(payload[28:30], "little")
+                comp = int.from_bytes(payload[30:34], "little")
+                if bpp != 24 or comp != 0:
+                    raise NotImplementedError("bmp variant")
+                if w <= 0 or h == 0:
+                    raise ValueError("bmp: bad dims")
+                flip = h > 0
+                h = abs(h)
+                stride = (w * 3 + 3) & ~3
+                body = payload[data_off : data_off + stride * h]
+                if len(body) < stride * h:
+                    raise ValueError("bmp: truncated")
+                rows = np.frombuffer(body, dtype=np.uint8).reshape(h, stride)
+                img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+                return img[::-1] if flip else img
+            raise NotImplementedError("unrecognized format")
+
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start : start + batch_size]
+                out = {
+                    "id": [], "status": [], "w": [], "h": [],
+                    "r": [], "g": [], "b": [],
+                }
+                for rid, payload in zip(chunk[id_col], chunk[binary_col]):
+                    try:
+                        img = decode(bytes(payload))
+                        sums = img.astype(np.int64).sum(axis=(0, 1))
+                        row = (
+                            "ok", img.shape[1], img.shape[0],
+                            int(sums[0]), int(sums[1]), int(sums[2]),
+                        )
+                    except ValueError:
+                        row = ("corrupt", None, None, None, None, None)
+                    except NotImplementedError:
+                        row = ("unsupported", None, None, None, None, None)
+                    out["id"].append(rid)
+                    for key, v in zip(("status", "w", "h", "r", "g", "b"), row):
+                        out[key].append(v)
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series(out["id"], dtype="int64"),
+                        "status": out["status"],
+                        "width": pd.Series(out["w"], dtype="Int32"),
+                        "height": pd.Series(out["h"], dtype="Int32"),
+                        "r_sum": pd.Series(out["r"], dtype="Int64"),
+                        "g_sum": pd.Series(out["g"], dtype="Int64"),
+                        "b_sum": pd.Series(out["b"], dtype="Int64"),
+                    }
+                )
+
+    return df.select(id_col, binary_col).mapInPandas(run, schema=schema)
 
 
 def fake_features(payload: bytes, n: int = 4) -> list[float]:
@@ -124,6 +323,107 @@ def sample_frames(
                         hashes.append(hashlib.md5(frame).hexdigest())
                 yield pd.DataFrame(
                     {id_col: ids, "frame_idx": idxs, "frame_md5": hashes}
+                )
+
+    return df.select(id_col, binary_col).mapInPandas(run, schema=schema)
+
+
+def resize_image_nearest(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    factor: int = 2,
+    batch_size: int = 256,
+) -> DataFrame:
+    """Nearest-neighbor downsample over REAL encoded images (PPM/BMP
+    via the native ``decode_image`` path): decode, collapse to exact
+    integer luma ``(r+g+b)//3``, keep every ``factor``-th pixel in both
+    axes. Output ``(id, out_row int, out_col int, pixel int)``; rows
+    come from the DECODED dimensions, so mixed-size corpora need no
+    size metadata up front. Payloads that fail to decode contribute no
+    rows (quarantine them via ``decode_image_stats`` first — same
+    decode, statusful output). Exact integers end to end, so the
+    result is value-hash-gateable."""
+    schema = f"{id_col} long, out_row int, out_col int, pixel int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def decode(payload: bytes):
+            # P6-only inline twin of decode_image's recognized paths;
+            # BMP arrives via the same byte layout rules.
+            if payload[:2] == b"P6":
+                pos, fields, n = 2, [], len(payload)
+                while len(fields) < 3:
+                    while pos < n and payload[pos : pos + 1].isspace():
+                        pos += 1
+                    if pos < n and payload[pos : pos + 1] == b"#":
+                        while pos < n and payload[pos : pos + 1] != b"\n":
+                            pos += 1
+                        continue
+                    start = pos
+                    while pos < n and not payload[pos : pos + 1].isspace():
+                        pos += 1
+                    if pos == start:
+                        raise ValueError("ppm: truncated header")
+                    try:
+                        fields.append(int(payload[start:pos]))
+                    except ValueError:
+                        raise ValueError("ppm: bad header") from None
+                pos += 1
+                w, h, maxval = fields
+                if w <= 0 or h <= 0 or not (0 < maxval < 256):
+                    raise ValueError("ppm: bad dims")
+                body = payload[pos : pos + w * h * 3]
+                if len(body) < w * h * 3:
+                    raise ValueError("ppm: truncated")
+                return np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3)
+            if payload[:2] == b"BM":
+                if len(payload) < 54:
+                    raise ValueError("bmp: truncated header")
+                data_off = int.from_bytes(payload[10:14], "little")
+                w = int.from_bytes(payload[18:22], "little", signed=True)
+                h = int.from_bytes(payload[22:26], "little", signed=True)
+                bpp = int.from_bytes(payload[28:30], "little")
+                comp = int.from_bytes(payload[30:34], "little")
+                if bpp != 24 or comp != 0:
+                    raise NotImplementedError("bmp variant")
+                if w <= 0 or h == 0:
+                    raise ValueError("bmp: bad dims")
+                flip = h > 0
+                h = abs(h)
+                stride = (w * 3 + 3) & ~3
+                body = payload[data_off : data_off + stride * h]
+                if len(body) < stride * h:
+                    raise ValueError("bmp: truncated")
+                rows = np.frombuffer(body, dtype=np.uint8).reshape(h, stride)
+                img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+                return img[::-1] if flip else img
+            raise NotImplementedError("unrecognized format")
+
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start : start + batch_size]
+                ids, rows_, cols, vals = [], [], [], []
+                for rid, payload in zip(chunk[id_col], chunk[binary_col]):
+                    try:
+                        img = decode(bytes(payload))
+                    except (ValueError, NotImplementedError):
+                        continue
+                    gray = img.astype(np.int64).sum(axis=2) // 3
+                    small = gray[::factor, ::factor]
+                    oh, ow = small.shape
+                    ids.extend([rid] * (oh * ow))
+                    rows_.extend(np.arange(oh).repeat(ow))
+                    cols.extend(np.tile(np.arange(ow), oh))
+                    vals.extend(small.ravel())
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series(ids, dtype="int64"),
+                        "out_row": pd.Series(rows_, dtype="int32"),
+                        "out_col": pd.Series(cols, dtype="int32"),
+                        "pixel": pd.Series(vals, dtype="int32"),
+                    }
                 )
 
     return df.select(id_col, binary_col).mapInPandas(run, schema=schema)
