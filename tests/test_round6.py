@@ -328,6 +328,71 @@ def test_decode_image_stats_quarantine(spark):
     assert out[3]["status"] == "unsupported" and out[3]["width"] is None
 
 
+# ---------------------------------------------------------------------------
+# Materializing quality pipeline (VERDICT r5 #6)
+# ---------------------------------------------------------------------------
+
+
+def test_quality_pipeline_plan_shape(spark, sf_dir):
+    """The post-boundary plan of the manifest: (a) the kept stage
+    prunes the materialized gate output at the PARTITION level on
+    keep (no data filter — whole false shards are never opened);
+    (b) exactly TWO exchanges downstream of the parquet boundary —
+    dedup groupBy(fingerprint) + pack window(split, bucket); the
+    manifest agg reuses the window's partitioning (its grouping keys
+    are a superset of the hash-partitioning keys)."""
+    import re
+
+    from udacity_capstone_data_engineering_spark.queries import queries
+
+    df = queries()["quality_pipeline_manifest"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "keep" in m.group(1), plan[:1500]
+    assert re.search(r"DataFilters: \[\]", plan), "keep leaked to a data filter"
+    assert plan.count("Exchange") == 2, plan
+
+
+def test_quality_pipeline_manifest_consistent_with_gate(spark, sf_dir):
+    """Cross-check the composition against its ingredient queries:
+    total docs in the manifest == distinct fingerprints among kept
+    docs, and every pack's token total is within budget + one doc's
+    overflow (the contiguous-packing contract)."""
+    from udacity_capstone_data_engineering_spark.functions.hashing import (
+        portable_hash64,
+    )
+    from udacity_capstone_data_engineering_spark.queries import queries
+
+    man = queries()["quality_pipeline_manifest"](spark, sf_dir).collect()
+    gate = queries()["full_quality_gate"](spark, sf_dir)
+    kept_ids = {r["doc_id"] for r in gate.collect() if r["keep"]}
+    docs = load_table(spark, sf_dir, "documents")
+    n_fp = (
+        docs.filter(F.col("doc_id").isin(list(kept_ids)))
+        .select(portable_hash64(F.col("text")).alias("fp"))
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_docs"] for r in man) == n_fp
+    # The exact contiguous-packing invariant: a pack's id equals
+    # floor(tokens-before-it-in-the-bucket / budget) — checkable from
+    # the manifest alone since packs are contiguous by doc order.
+    from collections import defaultdict
+
+    by_bucket = defaultdict(list)
+    for r in man:
+        assert r["n_docs"] >= 1 and r["pack_tokens"] >= 1
+        by_bucket[(r["split"], r["bucket"])].append(
+            (r["pack_id"], r["pack_tokens"])
+        )
+    for packs in by_bucket.values():
+        prefix = 0
+        for pack_id, tokens_ in sorted(packs):
+            assert prefix // 500 == pack_id, (packs, prefix)
+            prefix += tokens_
+    assert {r["split"] for r in man} <= {"train", "valid", "test"}
+
+
 def test_semantic_dedup_autok_pair_join_cluster_keyed(spark, sf_dir):
     """The auto-k row keeps the SemDeDup scale property: the pair
     stage is an equi-join on the cluster id, never a cartesian."""

@@ -75,3 +75,42 @@ def test_transform_with_state_gated_on_protobuf(spark):
         pytest.skip("protobuf present; gated path not exercised")
     with pytest.raises(ImportError, match="protobuf"):
         running_totals_stream(df)
+
+
+def test_transform_with_state_runs_when_protobuf_present(spark, tmp_path):
+    """Environment probe (VERDICT r5 #8): on a cluster where protobuf
+    IS installed, the Spark-4 StatefulProcessor path must actually run
+    — this keeps the gated code from rotting into an untested branch.
+    Skipped (not passed) where the dependency is absent; the
+    applyInPandasWithState equivalent is runtime-tested regardless."""
+    import pytest
+
+    from udacity_capstone_data_engineering_spark.streaming.stateful import (
+        _twspandas_available,
+        running_totals_stream,
+    )
+
+    if not _twspandas_available():
+        pytest.skip("protobuf absent in this container; gated path raises "
+                    "(covered by test_transform_with_state_gated_on_protobuf)")
+
+    src = tmp_path / "totals_src"
+    batch = spark.createDataFrame(
+        [(1, 2.0), (1, 3.0), (2, 10.0)], "user_id long, value double"
+    )
+    batch.write.parquet(str(src))
+    stream = spark.readStream.schema(batch.schema).parquet(str(src))
+    out = running_totals_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_totals_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.user_id: (r.n, r.total)
+        for r in spark.sql("SELECT * FROM tws_totals_test").collect()
+    }
+    assert got == {1: (2, 5.0), 2: (1, 10.0)}

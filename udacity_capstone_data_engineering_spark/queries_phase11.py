@@ -190,3 +190,162 @@ def image_resize_decoded(spark, sf_dir):
     )
 
     return resize_image_nearest(_ppm_payloads(spark, sf_dir), "payload", "doc_id", factor=2)
+
+
+# ---------------------------------------------------------------------------
+# The materializing corpus pipeline: gate -> dedup -> split -> packed shards
+# ---------------------------------------------------------------------------
+
+_QP_BUDGET = 500
+_QP_BUCKETS = 8
+_QP_FRACS = {"train": 0.9, "valid": 0.05, "test": 0.05}
+_QP_SEED = 1
+
+
+def _quality_pipeline_oracle_sql() -> str:
+    from udacity_capstone_data_engineering_spark.functions.hashing import (
+        portable_hash64_sql,
+    )
+    from udacity_capstone_data_engineering_spark.operators.sampling import (
+        hash_split_case_sql,
+    )
+    from udacity_capstone_data_engineering_spark.queries import _TOKENS_SQL
+    from udacity_capstone_data_engineering_spark.queries_phase10 import (
+        _quality_gate_oracle_sql,
+    )
+
+    case = hash_split_case_sql("fingerprint", _QP_FRACS, seed=_QP_SEED)
+    return f"""
+    WITH gate AS ({_quality_gate_oracle_sql()}),
+    kept AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN gate g ON d.doc_id = g.doc_id WHERE g.keep),
+    fp AS (
+      SELECT {portable_hash64_sql("text")} AS fingerprint,
+             CAST(min(doc_id) AS BIGINT) AS doc_id,
+             CAST(min(len({_TOKENS_SQL})) AS BIGINT) AS n_tokens
+      FROM kept GROUP BY 1),
+    asg AS (
+      SELECT doc_id, n_tokens, {case} AS split,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % {_QP_BUCKETS} AS bucket
+      FROM fp),
+    packed AS (
+      SELECT split, bucket, doc_id, n_tokens,
+             CAST((SUM(n_tokens) OVER (PARTITION BY split, bucket
+                                       ORDER BY doc_id)
+                   - n_tokens) // {_QP_BUDGET} AS INTEGER) AS pack_id
+      FROM asg)
+    SELECT split, CAST(bucket AS INTEGER) AS bucket, pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+    FROM packed GROUP BY 1, 2, 3
+    """
+
+
+@_register("quality_pipeline_manifest", _quality_pipeline_oracle_sql())
+def quality_pipeline_manifest(spark, sf_dir):
+    """THE corpus run, end to end, as a materializing `plans/` Pipeline
+    (VERDICT r5 #6 — `full_quality_gate` promoted from verdict query to
+    pipeline stage): (1) gate every document through all four quality
+    signals and MATERIALIZE the verdict-joined corpus as
+    keep-partitioned parquet shards (the lineage cut a 100 TB run
+    needs — four corpus-scanning signals run once, and downstream
+    stages read the pruned keep=true partition instead of re-running
+    the gate's lineage); (2) exact-dedup the kept docs on the content
+    fingerprint (min-id keep); (3) leak-proof hash-split keyed on the
+    FINGERPRINT so byte-twins can never straddle splits; (4) pack each
+    split into ~500-token training shards (contiguous packing in
+    portable-hash buckets — per-bucket windows, no global sort). The
+    returned shard MANIFEST (split, bucket, pack_id, n_docs,
+    pack_tokens) is what a training job consumes, and the oracle
+    recomputes the whole chain — so the materialize boundary, the
+    partition pruning, and every stage's arithmetic are value-hash
+    gated as ONE composition. Post-boundary plan cost is pinned in
+    tests/test_round6.py: TWO exchanges — the dedup groupBy on
+    fingerprint and the pack window on (split, bucket); the manifest
+    aggregation is exchange-free because hash-partitioning on
+    (split, bucket) already clusters its (split, bucket, pack_id)
+    grouping keys. The gate's own scans live behind the parquet
+    boundary."""
+    from pyspark.sql import Window
+
+    from udacity_capstone_data_engineering_spark.functions.text import tokens
+    from udacity_capstone_data_engineering_spark.plans.pipeline import Pipeline
+    from udacity_capstone_data_engineering_spark.operators.sampling import (
+        hash_split,
+    )
+    from udacity_capstone_data_engineering_spark.queries_phase10 import (
+        full_quality_gate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pipe = Pipeline(spark, workdir=tempfile.mkdtemp(prefix="spark_qpipe_"))
+
+    @pipe.stage("gate", materialize=True, partition_by=["keep"])
+    def gate():
+        verdicts = full_quality_gate(spark, sf_dir).select("doc_id", "keep")
+        return docs.join(verdicts, "doc_id")
+
+    @pipe.stage("kept", inputs=["gate"])
+    def kept(gate_df):
+        # Reads the materialized shards; keep=true prunes at the
+        # partition level (asserted in tests/test_round6.py). Partition
+        # values come back as strings (Spark's partition-column
+        # inference has no boolean tier), hence the cast.
+        return gate_df.filter(F.col("keep").cast("boolean")).select(
+            "doc_id", "text"
+        )
+
+    @pipe.stage("dedup", inputs=["kept"])
+    def dedup(kept_df):
+        return (
+            kept_df.select(
+                portable_hash64(F.col("text")).alias("fingerprint"),
+                "doc_id",
+                F.size(tokens("text")).cast("long").alias("n_tokens"),
+            )
+            .groupBy("fingerprint")
+            .agg(
+                F.min("doc_id").alias("doc_id"),
+                F.min("n_tokens").alias("n_tokens"),
+            )
+        )
+
+    @pipe.stage("split", inputs=["dedup"])
+    def split(dedup_df):
+        return hash_split(dedup_df, "fingerprint", _QP_FRACS, seed=_QP_SEED)
+
+    @pipe.stage("pack", inputs=["split"])
+    def pack(split_df):
+        bucket = F.pmod(
+            portable_hash64(F.col("doc_id").cast("string")),
+            F.lit(_QP_BUCKETS),
+        ).cast("int")
+        w = (
+            Window.partitionBy("split", "bucket")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            split_df.select("split", "doc_id", "n_tokens", bucket.alias("bucket"))
+            .withColumn("__cum", F.sum("n_tokens").over(w))
+            .select(
+                "split",
+                "bucket",
+                "doc_id",
+                "n_tokens",
+                F.floor((F.col("__cum") - F.col("n_tokens")) / _QP_BUDGET)
+                .cast("int")
+                .alias("pack_id"),
+            )
+        )
+
+    @pipe.stage("manifest", inputs=["pack"])
+    def manifest(pack_df):
+        return pack_df.groupBy("split", "bucket", "pack_id").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+        )
+
+    return pipe.run()["manifest"]
