@@ -151,8 +151,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = catalog.queries()
+    # VERDICT r5 #4: bench the WHOLE catalog, not just the headline
+    # tier — 93 queries had no recorded wall, so a regression there was
+    # invisible. HEADLINE keeps its historical order (cross-round
+    # per-query ratios stay aligned); everything else appends sorted.
+    run_list = HEADLINE + sorted(set(qs) - set(HEADLINE))
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in run_list:
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm (scan cache, JIT)
         t0 = time.perf_counter()

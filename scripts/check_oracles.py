@@ -62,9 +62,32 @@ def table_sig(cols, rows):
     return sorted_cols, len(rows), hash(tuple(map(tuple, body)))
 
 
+def stable_sig(cols, rows) -> str:
+    """Cross-process-stable digest of the canonicalized result (the
+    in-process ``hash()`` above is PYTHONHASHSEED-salted — fine for the
+    same-process compare, useless for a committed manifest). Same
+    canonicalization: columns sorted by name, rows sorted, cells
+    canon()'d."""
+    import hashlib
+
+    cols = list(cols)
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    h = hashlib.sha256()
+    h.update(repr([cols[i] for i in order]).encode())
+    for row in sorted(tuple(repr(canon(r[i])) for i in order) for r in rows):
+        h.update(repr(row).encode())
+    return h.hexdigest()
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    manifest_path = None
+    if "--manifest" in argv:
+        i = argv.index("--manifest")
+        manifest_path = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark()
     con = duckdb.connect()
     for t in TABLES:
@@ -77,9 +100,24 @@ def main():
     oracles = entrymod.oracle_sql()
     failures = []
     skipped = []
+    manifest: dict[str, dict] = {}
     names = [k for k in queries if not only or k in only]
     for name in names:
         if name not in oracles:
+            if manifest_path is not None:
+                # rows-only entries still get a drift-diffable digest
+                try:
+                    sdf = queries[name](spark, sf_dir)
+                    rows = [tuple(r) for r in sdf.collect()]
+                    manifest[name] = {
+                        "rows": len(rows),
+                        "sha256": stable_sig(sdf.columns, rows),
+                        "oracle": False,
+                    }
+                except Exception as exc:  # noqa: BLE001
+                    failures.append((name, f"ERROR {type(exc).__name__}: {exc}"))
+                    print(f"FAIL  {name}: {type(exc).__name__}: {exc}")
+                    continue
             skipped.append(name)
             continue
         try:
@@ -95,6 +133,12 @@ def main():
             continue
         sc, sn, sh = table_sig(s_cols, s_rows)
         dc, dn, dh = table_sig(d_cols, d_rows)
+        if manifest_path is not None:
+            manifest[name] = {
+                "rows": sn,
+                "sha256": stable_sig(s_cols, s_rows),
+                "oracle": True,
+            }
         if sc != dc:
             failures.append((name, f"schema {sc} != {dc}"))
             print(f"FAIL  {name}: schema spark={sc} duckdb={dc}")
@@ -113,6 +157,16 @@ def main():
     )
     if skipped:
         print("rows-only:", " ".join(sorted(skipped)))
+    if manifest_path is not None:
+        import json
+
+        with open(manifest_path, "w") as f:
+            json.dump(
+                {"sf_dir": sf_dir, "queries": dict(sorted(manifest.items()))},
+                f,
+                indent=1,
+            )
+        print(f"manifest: {manifest_path} ({len(manifest)} digests)")
     if failures:
         sys.exit(1)
 
