@@ -50,13 +50,13 @@ SF1 = "/tmp/sf1_synth"
 SRC = "/root/testdata/sf0.1"
 
 
-def generate(seed: int = 20260814) -> None:
+def generate(seed: int = 20260814, dst: str = SF1, vec_mult: int = 10, doc_mult: int = 10) -> None:
     import duckdb
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     rng = np.random.default_rng(seed)
-    os.makedirs(SF1, exist_ok=True)
+    os.makedirs(dst, exist_ok=True)
 
     # --- embeddings: fit per-label gaussian on sf0.1, sample 10x ---
     rows = duckdb.sql(
@@ -69,7 +69,7 @@ def generate(seed: int = 20260814) -> None:
     cent = {l: np.mean(by_label[l], axis=0) for l in labels}
     std = {l: np.std(np.stack(by_label[l]) - cent[l], axis=0) for l in labels}
 
-    n_vec = 10 * len(rows)
+    n_vec = vec_mult * len(rows)
     labs = rng.integers(0, len(labels), size=n_vec)
     dim = len(cent[labels[0]])
     mat = np.empty((n_vec, dim), dtype=np.float32)
@@ -88,7 +88,7 @@ def generate(seed: int = 20260814) -> None:
                 "label": pa.array(labs.astype("int32"), pa.int32()),
             }
         ),
-        f"{SF1}/embeddings.parquet",
+        f"{dst}/embeddings.parquet",
     )
 
     # --- documents: vocabulary + length distribution from sf0.1 ---
@@ -104,7 +104,7 @@ def generate(seed: int = 20260814) -> None:
             f"SELECT lang FROM '{SRC}/documents.parquet'"
         ).fetchall()
     ]
-    n_doc = 10 * len(texts)
+    n_doc = doc_mult * len(texts)
     docs: list[str] = []
     for i in range(n_doc):
         r = rng.random()
@@ -139,9 +139,9 @@ def generate(seed: int = 20260814) -> None:
                 "n_chars": pa.array([len(d) for d in docs], pa.int64()),
             }
         ),
-        f"{SF1}/documents.parquet",
+        f"{dst}/documents.parquet",
     )
-    print(f"generated {n_vec} vectors, {n_doc} docs -> {SF1}", flush=True)
+    print(f"generated {n_vec} vectors, {n_doc} docs -> {dst}", flush=True)
 
 
 # (table, key columns to offset per copy) — the offset base for each

@@ -191,6 +191,84 @@ def test_bucketed_fp_index_matches_inplan_variant(spark, sf_dir):
     )
 
 
+def test_kmeans_assign_regimes_bit_equal(spark, sf_dir):
+    """The large-k Arrow kernel and the literal expression plan must be
+    BIT-EQUAL on the same centroids (same exact-integer recurrence,
+    same first-minimum tie rule) — the gate for routing SemDeDup-scale
+    k through the kernel while the served oracle rows stay literal."""
+    from udacity_capstone_data_engineering_spark.operators.kmeans import (
+        _assign,
+        _assign_kernel,
+        _quantize,
+    )
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    q = _quantize(vecs, "vec_id", "embedding", 1024)
+    cents = [list(r["qv"]) for r in q.orderBy("vid").limit(80).collect()]
+    # includes EXACT centroid hits (dist 0) and, because centroids 0..79
+    # are corpus vectors, duplicated-distance ties exercise the rule
+    lit = {
+        r["vid"]: (r["cluster"], r["dist_sq"])
+        for r in _assign(q, cents).collect()
+    }
+    ker = {
+        r["vid"]: (r["cluster"], r["dist_sq"])
+        for r in _assign_kernel(q, cents).collect()
+    }
+    assert lit == ker
+
+
+def test_kmeans_int_kernel_regime_end_to_end(spark, sf_dir):
+    """kmeans_int at k just past the regime switch equals a pure-Python
+    replay of the recurrence (the same gate battery the literal path
+    passed in test_kmeans.py, now through the kernel)."""
+    import math
+
+    from udacity_capstone_data_engineering_spark.operators.kmeans import (
+        ASSIGN_KERNEL_MIN_K,
+        kmeans_int,
+    )
+
+    k = ASSIGN_KERNEL_MIN_K + 8
+    vecs = load_table(spark, sf_dir, "embeddings")
+    rows = [(r["vec_id"], list(r["embedding"])) for r in vecs.collect()]
+    q = {
+        vid: [math.floor(float(x) * 1024 + 0.5) for x in vec]
+        for vid, vec in rows
+    }
+    cents = [list(q[vid]) for vid in sorted(q)[:k]]
+
+    def assign():
+        out = {}
+        for vid, qv in q.items():
+            best = None
+            for cid, cv in enumerate(cents):
+                d = sum((a - b) * (a - b) for a, b in zip(qv, cv))
+                if best is None or d < best[0]:
+                    best = (d, cid)
+            out[vid] = best
+        return out
+
+    for _ in range(2):
+        a = assign()
+        for cid in range(k):
+            member = [q[vid] for vid, (_, c) in a.items() if c == cid]
+            if member:
+                n = len(member)
+                cents[cid] = [
+                    sum(m[i] for m in member) // n
+                    for i in range(len(cents[cid]))
+                ]
+    want = {vid: (c, d) for vid, (d, c) in assign().items()}
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist_sq"])
+        for r in kmeans_int(
+            vecs, "vec_id", "embedding", k=k, iterations=2
+        ).collect()
+    }
+    assert got == want
+
+
 # ---------------------------------------------------------------------------
 # Real image codec (VERDICT r5 #3)
 # ---------------------------------------------------------------------------

@@ -48,6 +48,13 @@ from udacity_capstone_data_engineering_spark.functions.hashing import (  # noqa:
 K = 4
 ITERATIONS = 3
 SCALE = 1024
+# Above this k, nearest-centroid assignment switches from the literal
+# expression plan (O(k*d) Catalyst nodes — fine for the served oracle
+# rows at k<=32, pathological at SemDeDup-scale k~n/64) to an Arrow
+# kernel over broadcast int64 centroids. Both regimes compute the SAME
+# exact-integer recurrence and are bit-equal (test_kmeans_assign_regimes
+# pins it on a straddle pair), so the oracle story is regime-blind.
+ASSIGN_KERNEL_MIN_K = 64
 
 
 def _quantize(vecs: DataFrame, id_col: str, vec_col: str, scale: int) -> DataFrame:
@@ -93,6 +100,57 @@ def _assign(q: DataFrame, cents: list[list[int]]) -> DataFrame:
     )
 
 
+def _assign_kernel(q: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """Large-k assignment: the same exact-integer argmin as `_assign`,
+    vectorized in numpy int64 inside an Arrow kernel over BROADCAST
+    centroids (k x d int64 — SemDeDup's LAION configuration is 50k x
+    64 = 25 MB, well under any broadcast budget). int64 arithmetic is
+    exact, `np.argmin` returns the FIRST minimum (== smallest centroid
+    id, the strict-< tie rule), so the kernel is bit-equal to the
+    literal plan — only the plan size changes. Distance blocks are
+    row-chunked so a worker never holds more than ~chunk*k int64s."""
+    import numpy as np
+    import pandas as pd
+
+    spark = q.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(cents, dtype=np.int64))
+    # ~32 MB of i64 distance scratch per chunk regardless of k
+    chunk = max(64, (4 << 20) // max(1, len(cents)))
+
+    def run(batches):
+        c = bc.value  # (k, d) int64
+        for pdf in batches:
+            for start in range(0, len(pdf), chunk):
+                part = pdf.iloc[start : start + chunk]
+                x = np.array(list(part["qv"]), dtype=np.int64)  # (b, d)
+                # Expanded squared L2 in pure int64 — exact; per-term
+                # bound d*(scale*max|x|)^2 ~ 2^36, far under 2^63.
+                d2 = (
+                    (x * x).sum(1, keepdims=True)
+                    - 2 * (x @ c.T)
+                    + (c * c).sum(1)[None, :]
+                )
+                best = d2.argmin(1)  # first min == smallest cid
+                yield pd.DataFrame(
+                    {
+                        "vid": part["vid"].values,
+                        "qv": part["qv"].values,
+                        "cluster": best.astype("int32"),
+                        "dist_sq": d2[np.arange(len(part)), best],
+                    }
+                )
+
+    return q.select("vid", "qv").mapInPandas(
+        run, schema="vid long, qv array<long>, cluster int, dist_sq long"
+    )
+
+
+def _assign_any(q: DataFrame, cents: list[list[int]]) -> DataFrame:
+    if len(cents) > ASSIGN_KERNEL_MIN_K:
+        return _assign_kernel(q, cents)
+    return _assign(q, cents)
+
+
 def kmeans_int(
     vecs: DataFrame,
     id_col: str,
@@ -108,7 +166,7 @@ def kmeans_int(
     cents = [list(r["qv"]) for r in init]
     d = len(cents[0])
     for _ in range(iterations):
-        assign = _assign(q, cents)
+        assign = _assign_any(q, cents)
         rows = assign.groupBy("cluster").agg(
             F.count("*").alias("c"),
             *[F.sum(F.element_at("qv", i + 1)).alias(f"s{i}") for i in range(d)],
@@ -119,7 +177,7 @@ def kmeans_int(
             if r is None or r["c"] == 0:
                 continue  # empty cluster keeps its previous centroid
             cents[cid] = [r[f"s{i}"] // r["c"] for i in range(d)]
-    out = _assign(q, cents).select(
+    out = _assign_any(q, cents).select(
         F.col("vid").alias(id_col), "cluster", "dist_sq"
     )
     q.unpersist()
