@@ -47,6 +47,10 @@ def exact_topk_fast(path: str, k: int = 5) -> set[tuple[int, int]]:
     total order bit-for-bit."""
     import duckdb
 
+    cache = f"{path}/truth_k{k}.npy"
+    if os.path.exists(cache):
+        return {(int(a), int(b)) for a, b in np.load(cache)}
+
     rows = duckdb.sql(
         f"SELECT vec_id, embedding FROM '{path}/embeddings.parquet'"
     ).fetchall()
@@ -63,12 +67,12 @@ def exact_topk_fast(path: str, k: int = 5) -> set[tuple[int, int]]:
             i = s + bi
             row = block[bi]
             row[i] = -np.inf
-            cand = np.argpartition(-row, k)[: 4 * k]  # slack for ties
             kth = np.partition(-row, k - 1)[k - 1]
             # every index scoring >= kth (ties included), exact order
             cand = np.nonzero(row >= -kth)[0]
             order = cand[np.lexsort((ids[cand], -row[cand]))][:k]
             truth.update((int(ids[i]), int(ids[j])) for j in order)
+    np.save(cache, np.array(sorted(truth), dtype=np.int64))
     return truth
 
 

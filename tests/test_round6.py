@@ -22,6 +22,10 @@ from udacity_capstone_data_engineering_spark.operators.semdedup import (
 )
 from udacity_capstone_data_engineering_spark.sources.catalog import load_table
 
+TEST_SF = __import__("os").environ.get(
+    "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+)
+
 
 def test_auto_k_formula_and_sql_parity():
     """The Python formula and its DuckDB twin agree on every regime:
@@ -479,3 +483,113 @@ def test_semantic_dedup_autok_pair_join_cluster_keyed(spark, sf_dir):
     df = queries()["semantic_dedup_autok"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-6 breadth tier: JL projection, MAD outliers, skew profile,
+# power iteration
+# ---------------------------------------------------------------------------
+
+
+def test_jl_projection_preserves_distances(spark, sf_dir):
+    """The point of JL: pairwise distances survive the 64 -> 16
+    projection up to (1 ± eps). Checked statistically on a sample —
+    the median distortion ratio (after the 1/sqrt(m) normalization)
+    must sit near 1, and the projection must be a deterministic pure
+    function (two runs bit-equal)."""
+    import numpy as np
+
+    from udacity_capstone_data_engineering_spark.queries import queries
+
+    run = lambda: sorted(
+        tuple(r)
+        for r in queries()["embedding_random_projection"](
+            spark, sf_dir
+        ).collect()
+    )
+    rows = run()
+    assert rows == run()  # deterministic
+    by_vec: dict[int, dict[int, int]] = {}
+    for vid, j, p in rows:
+        by_vec.setdefault(vid, {})[j] = p
+    ids = sorted(by_vec)[:40]
+    proj = np.array(
+        [[by_vec[v][j] for j in range(16)] for v in ids], dtype=np.float64
+    )
+    import duckdb
+
+    raw = {
+        r[0]: np.array(r[1], dtype=np.float64) * 1024
+        for r in duckdb.sql(
+            f"SELECT vec_id, embedding FROM "
+            f"'{TEST_SF}/embeddings.parquet' WHERE vec_id <= {max(ids)}"
+        ).fetchall()
+        if r[0] in set(ids)
+    }
+    ratios = []
+    for a in range(0, len(ids), 7):
+        for b in range(a + 1, len(ids), 5):
+            dr = np.linalg.norm(raw[ids[a]] - raw[ids[b]])
+            dp = np.linalg.norm(proj[a] - proj[b]) / np.sqrt(16.0)
+            if dr > 0:
+                ratios.append(dp / dr)
+    med = float(np.median(ratios))
+    assert 0.7 <= med <= 1.3, med
+
+
+def test_mad_outliers_fixture(spark):
+    """Hand fixture: one wild outlier among tame values — the fence
+    must flag exactly it, and the mean-dragging pathology must not
+    move the median/MAD."""
+    from udacity_capstone_data_engineering_spark.queries_phase11 import (
+        event_value_outliers_mad,
+    )
+
+    # monkeypatch load_table via a temp parquet dir shaped like events
+    import tempfile
+
+    vals = [10.0, 11.0, 12.0, 13.0, 14.0, 15.0, 16.0, 1000.0]
+    df = spark.createDataFrame(
+        [(i, "click", v, "2024-01-01 00:00:00") for i, v in enumerate(vals)],
+        "event_id long, event_type string, value double, ts_s string",
+    ).select(
+        "event_id",
+        "event_type",
+        "value",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+    )
+    d = tempfile.mkdtemp(prefix="mad_fixture_")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {
+        r["event_type"]: r
+        for r in event_value_outliers_mad(spark, d).collect()
+    }
+    row = out["click"]
+    assert row["n_events"] == 8
+    assert row["median"] == 13.0  # lower median of 8 values
+    assert row["mad"] == 2.0  # |10..1000 - 13| sorted: 0,1,1,2,2,3,3,987
+    assert row["n_outliers"] == 1  # only the 1000.0
+
+
+def test_skew_profile_topk_plan(spark, sf_dir):
+    """The profiler must be one aggregation + TakeOrderedAndProject —
+    never a global sort of the key-frequency relation."""
+    from udacity_capstone_data_engineering_spark.queries import queries
+
+    df = queries()["join_key_skew_profile"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert len(rows) <= 20
+    assert rows == sorted(rows, key=lambda r: (-r["cnt"], r["key"]))
+    # the heaviest key is at least the mean key frequency by definition
+    assert rows[0]["x_mean_permille"] >= 1000
+    # exact-share cross-check against duckdb
+    import duckdb
+
+    want_cnt, want_key = duckdb.sql(
+        f"SELECT cnt, l_partkey FROM (SELECT l_partkey, count(*) AS cnt "
+        f"FROM '{TEST_SF}/lineitem.parquet' GROUP BY 1) "
+        "ORDER BY cnt DESC, l_partkey LIMIT 1"
+    ).fetchone()
+    assert (rows[0]["cnt"], rows[0]["key"]) == (want_cnt, want_key)

@@ -161,7 +161,16 @@ def kmeans_int(
 ) -> DataFrame:
     """Fixed-iteration integer Lloyd; returns the FINAL assignment
     ``(vec_id, cluster, dist_sq)`` after ``iterations`` update rounds."""
-    q = _quantize(vecs, id_col, vec_col, scale).persist()
+    from udacity_capstone_data_engineering_spark.sources.catalog import (
+        fan_out_small_scan,
+    )
+
+    # Widen a too-narrow scan BEFORE persisting: a one-file corpus
+    # otherwise serializes every assign kernel on a single worker —
+    # the sf10 probe measured the k=3125 kernel pegging ONE core for
+    # ~30 min on a single-partition 200k-vector parquet. No-op when
+    # the scan already has >= default-parallelism partitions.
+    q = fan_out_small_scan(_quantize(vecs, id_col, vec_col, scale)).persist()
     init = q.orderBy("vid").limit(k).collect()
     cents = [list(r["qv"]) for r in init]
     d = len(cents[0])

@@ -12,15 +12,23 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from udacity_capstone_data_engineering_spark.functions.fixedpoint import (
+    exact_round_div,
+    exact_round_div_sql,
+)
 from udacity_capstone_data_engineering_spark.functions.hashing import (
     portable_hash64,
+    portable_hash64_sql,
 )
 from udacity_capstone_data_engineering_spark.queries import _register
 from udacity_capstone_data_engineering_spark.queries_phase10 import (
     _INGEST_MOD,
     _INGEST_ORACLE,
 )
-from udacity_capstone_data_engineering_spark.sources.catalog import load_table
+from udacity_capstone_data_engineering_spark.sources.catalog import (
+    fan_out_small_scan,
+    load_table,
+)
 
 # ---------------------------------------------------------------------------
 # Dedup: incremental ingest against a BUCKETED standing index (r5 #2)
@@ -190,6 +198,240 @@ def image_resize_decoded(spark, sf_dir):
     )
 
     return resize_image_nearest(_ppm_payloads(spark, sf_dir), "payload", "doc_id", factor=2)
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: Johnson-Lindenstrauss random projection (ANN preprocessing)
+# ---------------------------------------------------------------------------
+
+_JL_OUT_DIMS = 16
+_JL_SCALE = 1024
+
+
+@_register(
+    "embedding_random_projection",
+    f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * {_JL_SCALE} + 0.5)
+                           AS BIGINT)) AS qv
+      FROM embeddings),
+    vdim AS (
+      SELECT vec_id, u.i AS i, u.val AS val FROM (
+        SELECT vec_id, unnest(list_transform(range(1, len(qv) + 1),
+                   i -> {{'i': i - 1, 'val': qv[i]}})) AS u
+        FROM q))
+    SELECT v.vec_id, CAST(j AS INTEGER) AS out_dim,
+           CAST(sum(v.val * (1 - 2 * ({portable_hash64_sql(
+               "CAST(v.i AS VARCHAR) || '_' || CAST(j AS VARCHAR)")} % 2)))
+             AS BIGINT) AS proj
+    FROM vdim v, range({_JL_OUT_DIMS}) t(j)
+    GROUP BY 1, 2
+    """,
+)
+def embedding_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss dimensionality reduction (Achlioptas
+    ±1 signs): project the 64-dim embeddings to 16 dims with a
+    DETERMINISTIC sign matrix — sign(i,j) = 1 - 2*(h(i_j) % 2) from
+    the portable 60-bit hash, so the projection is a pure function of
+    the coordinates: engine-portable, repartition-stable, and (on the
+    floor-quantized integer grid) fully value-hash-gateable. This is
+    the standard ANN/sketch preprocessing step: downstream LSH or
+    clustering runs on 4x fewer dimensions with (1±eps)-preserved
+    distances. Scale shape: one map-only posexplode x 16 output dims
+    (the sign is computed inline — no sign-matrix join), one
+    (vec, out_dim)-keyed aggregation with map-side combine; at 100 TB
+    this is scan-bound, shuffle bytes are n*16 longs."""
+    vecs = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
+    q = vecs.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * _JL_SCALE + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("qv"),
+    )
+    vdim = q.select("vec_id", F.posexplode("qv").alias("i", "val"))
+    dims = F.broadcast(
+        spark.range(_JL_OUT_DIMS).select(F.col("id").cast("int").alias("out_dim"))
+    )
+    sign = 1 - 2 * F.pmod(
+        portable_hash64(
+            F.concat(
+                F.col("i").cast("string"), F.lit("_"), F.col("out_dim").cast("string")
+            )
+        ),
+        F.lit(2),
+    )
+    return (
+        vdim.crossJoin(dims)
+        .groupBy("vec_id", "out_dim")
+        .agg(F.sum(F.col("val") * sign).alias("proj"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Monitoring: MAD-based robust outlier detection per event type
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "event_value_outliers_mad",
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events),
+    med AS (
+      SELECT event_type, value AS median
+      FROM ranked WHERE rn = (n + 1) // 2),
+    dev AS (
+      SELECT r.event_type, abs(r.value - m.median) AS adev, m.median,
+             row_number() OVER (PARTITION BY r.event_type
+                                ORDER BY abs(r.value - m.median),
+                                         r.value, r.rn) AS drn,
+             count(*) OVER (PARTITION BY r.event_type) AS n
+      FROM ranked r JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, median, adev AS mad
+      FROM dev WHERE drn = (n + 1) // 2)
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(m.median, 6) AS median,
+           ROUND(m.mad, 6) AS mad,
+           CAST(count(*) FILTER (abs(e.value - m.median) > 3 * m.mad)
+                AS BIGINT) AS n_outliers
+    FROM events e JOIN mad m USING (event_type)
+    GROUP BY e.event_type, m.median, m.mad
+    """,
+)
+def event_value_outliers_mad(spark, sf_dir):
+    """Robust outlier monitor: per event type, the DISCRETE (lower)
+    median and the median absolute deviation, then the count of values
+    past the classic 3*MAD fence — the monitor that survives the very
+    outliers it hunts (mean/stddev fences get dragged by them).
+    Determinism: both medians are ORDER STATISTICS selected under a
+    total order (value, event_id — never interpolated floats), so the
+    fence arithmetic is identical IEEE ops on identical doubles in
+    both engines. Scale shape: two ranked windows per key (sort-based,
+    partition = event type; a skewed key follows the house salting
+    path) and one counting join — no global sort, no collect."""
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    wv = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = events.select(
+        "event_type",
+        "value",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = ranked.filter(
+        F.col("rn") == F.floor((F.col("n") + 1) / 2)
+    ).select("event_type", F.col("value").alias("median"))
+    dev_base = ranked.join(med, "event_type").select(
+        "event_type",
+        "median",
+        F.abs(F.col("value") - F.col("median")).alias("adev"),
+        "value",
+        "rn",
+    )
+    wd = Window.partitionBy("event_type").orderBy("adev", "value", "rn")
+    mad = (
+        dev_base.select(
+            "event_type",
+            "median",
+            "adev",
+            F.row_number().over(wd).alias("drn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .filter(F.col("drn") == F.floor((F.col("n") + 1) / 2))
+        .select("event_type", "median", F.col("adev").alias("mad"))
+    )
+    return (
+        events.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "median", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (
+                    F.abs(F.col("value") - F.col("median"))
+                    > 3 * F.col("mad")
+                ).cast("long")
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            F.round("median", 6).alias("median"),
+            F.round("mad", 6).alias("mad"),
+            "n_outliers",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ops: join-key skew profiler (the pre-salting diagnostic)
+# ---------------------------------------------------------------------------
+
+_SKEW_TOPK = 20
+
+
+@_register(
+    "join_key_skew_profile",
+    f"""
+    WITH freq AS (
+      SELECT l_partkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS total,
+                   CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_keys
+            FROM lineitem)
+    SELECT key, CAST(cnt AS BIGINT) AS cnt,
+           CAST({exact_round_div_sql("cnt * 1000000", "t.total", 0)} AS BIGINT)
+             AS share_ppm,
+           CAST({exact_round_div_sql("cnt * t.n_keys * 1000", "t.total", 0)}
+             AS BIGINT) AS x_mean_permille
+    FROM freq CROSS JOIN tot t
+    ORDER BY cnt DESC, key
+    LIMIT {_SKEW_TOPK}
+    """,
+)
+def join_key_skew_profile(spark, sf_dir):
+    """The diagnostic a 100 TB join runs BEFORE choosing a strategy:
+    top-20 heaviest join keys with exact share (ppm of all rows) and
+    skew factor (x the mean key frequency, permille) — the numbers
+    that decide between plain shuffle, AQE skew split, salting, or a
+    broadcast of the hot slice (`operators/skew.py`). One counting
+    aggregation + a 1-row stats broadcast + TakeOrderedAndProject —
+    the profile costs one scan no matter the corpus. Ratios are
+    rounded in exact BIGINT arithmetic (the divide-then-round rule)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    freq = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = li.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.countDistinct("l_partkey").alias("n_keys"),
+    )
+    return (
+        freq.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "cnt",
+            exact_round_div(
+                F.col("cnt") * F.lit(1_000_000), F.col("total"), 0
+            ).alias("share_ppm"),
+            exact_round_div(
+                F.col("cnt") * F.col("n_keys") * F.lit(1000), F.col("total"), 0
+            ).alias("x_mean_permille"),
+        )
+        .orderBy(F.desc("cnt"), "key")
+        .limit(_SKEW_TOPK)
+    )
 
 
 # ---------------------------------------------------------------------------
