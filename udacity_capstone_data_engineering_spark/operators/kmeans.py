@@ -169,9 +169,13 @@ def kmeans_int(
     k: int = K,
     iterations: int = ITERATIONS,
     scale: int = SCALE,
+    _cents_out: list | None = None,
 ) -> DataFrame:
     """Fixed-iteration integer Lloyd; returns the FINAL assignment
-    ``(vec_id, cluster, dist_sq)`` after ``iterations`` update rounds."""
+    ``(vec_id, cluster, dist_sq)`` after ``iterations`` update rounds.
+    Pass ``_cents_out=[]`` to also receive the final centroid matrix
+    (k lists of d ints) — the incremental SemDeDup tier assigns NEW
+    batches against these standing centroids without re-clustering."""
     from udacity_capstone_data_engineering_spark.sources.catalog import (
         fan_out_small_scan,
     )
@@ -207,6 +211,8 @@ def kmeans_int(
         F.col("vid").alias(id_col), "cluster", "dist_sq"
     )
     q.unpersist()
+    if _cents_out is not None:
+        _cents_out.extend(cents)
     return out
 
 

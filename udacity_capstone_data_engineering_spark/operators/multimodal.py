@@ -222,6 +222,67 @@ def decode_image_stats(
     return df.select(id_col, binary_col).mapInPandas(run, schema=schema)
 
 
+def image_dhash(
+    df: DataFrame, binary_col: str, id_col: str, batch_size: int = 256
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) over REAL decoded images
+    (VERDICT r6 #8 — the image tier's near-dup fingerprint): decode,
+    collapse to exact integer luma ``(r+g+b)//3``, then one bit per
+    horizontally-adjacent pixel pair — bit p = r*(w-1)+c is set iff
+    ``luma[r][c] < luma[r][c+1]``. Gradient signs are invariant to
+    uniform brightness shifts, which is what makes dHash a NEAR-dup
+    hash rather than a byte hash. Output ``(id, width, height, nbits,
+    dhash)`` — nbits = (w-1)*h (28 for the 8x4 gate corpus; a
+    production 9x8-resampled dHash is 64), dhash packed little-endian
+    into a BIGINT (callers must keep nbits <= 63). Failed decodes
+    contribute no rows (quarantine via ``decode_image_stats`` first).
+    Pure integer comparisons end to end, so the result is
+    value-hash-gateable like ``simhash_docs``."""
+    schema = f"{id_col} long, width int, height int, nbits int, dhash long"
+    decode_src = _DECODE_IMAGE_SRC
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        ns: dict = {}
+        exec(compile(decode_src, "<decode_image>", "exec"), ns)
+        decode = ns["decode_image"]
+
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start : start + batch_size]
+                ids, ws, hs, nb, hv = [], [], [], [], []
+                for rid, payload in zip(chunk[id_col], chunk[binary_col]):
+                    try:
+                        img = decode(bytes(payload))
+                    except (ValueError, NotImplementedError):
+                        continue
+                    luma = img.astype(np.int64).sum(axis=2) // 3
+                    h, w = luma.shape
+                    if (w - 1) * h > 63 or w < 2:
+                        continue  # contract: hash must fit a BIGINT
+                    bits = (luma[:, :-1] < luma[:, 1:]).ravel()
+                    val = int(
+                        (bits.astype(np.int64) << np.arange(bits.size)).sum()
+                    )
+                    ids.append(rid)
+                    ws.append(w)
+                    hs.append(h)
+                    nb.append(bits.size)
+                    hv.append(val)
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series(ids, dtype="int64"),
+                        "width": pd.Series(ws, dtype="int32"),
+                        "height": pd.Series(hs, dtype="int32"),
+                        "nbits": pd.Series(nb, dtype="int32"),
+                        "dhash": pd.Series(hv, dtype="int64"),
+                    }
+                )
+
+    return df.select(id_col, binary_col).mapInPandas(run, schema=schema)
+
+
 def fake_features(payload: bytes, n: int = 4) -> list[float]:
     """Deterministic stand-in feature extractor so the distributed
     plumbing is testable end-to-end: n floats derived from md5 bytes."""

@@ -1037,6 +1037,14 @@ def sink_roundtrip_partitioned(spark, sf_dir):
     SELECT 'ivfpq_auto' AS method,
            (SELECT COUNT(*) * 5 FROM embeddings) AS n_pairs,
            TRUE AS recall_ok
+    UNION ALL
+    SELECT 'lsh_jl' AS method,
+           (SELECT COUNT(*) * 5 FROM embeddings) AS n_pairs,
+           TRUE AS recall_ok
+    UNION ALL
+    SELECT 'ivf_jl' AS method,
+           (SELECT COUNT(*) * 5 FROM embeddings) AS n_pairs,
+           TRUE AS recall_ok
     """,
 )
 def ann_recall_report(spark, sf_dir):
@@ -1101,6 +1109,48 @@ def ann_recall_report(spark, sf_dir):
     # and would flip these rows false).
     ivf_auto = ivf_topk(emb, "vec_id", "embedding", k=5)
     ivfpq_auto = ivfpq_topk(emb, "vec_id", "embedding", dim=64, k=5)
+    # JL-projected rows (VERDICT r6 #7): gate the COMPOSITION — each
+    # kernel running on 16 JL dims must approximate EXACT search in
+    # those same 16 dims at >= 0.9, the property the project_dims=
+    # hook actually adds. The end-to-end question (does 16-dim
+    # candidate generation + exact rerank retain the 64-dim top-5?)
+    # is measured, not gated, because this corpus is the JL worst
+    # case by construction: embeddings are isotropic-random, so
+    # top-5 margins are O(1/sqrt(dim)) near-ties that NO 4x
+    # projection preserves (measured capture of the 64-dim top-5
+    # within the projected top-50: 0.48 @ 16d, 0.64 @ 32d, 0.72 @
+    # 48d — sf0.01 sweep, SCALING.md r7). On real embedding corpora
+    # (low-dim manifold structure) the same hook is the standard
+    # cheap-candidates shape; here the gate pins what is provable.
+    from udacity_capstone_data_engineering_spark.operators.similarity import (
+        jl_project,
+    )
+
+    proj = jl_project(emb, "vec_id", "embedding", 16).localCheckpoint(
+        eager=True
+    )
+    exact_jl = (
+        brute_force_topk(proj, "vec_id", "embedding", k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+
+    def jl_row(name, approx, bound=0.9):
+        hits = exact_jl.join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        ).agg(F.count(F.lit(1)).alias("hits"))
+        tot = exact_jl.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        return hits.crossJoin(tot).select(
+            F.lit(name).alias("method"),
+            "n_pairs",
+            (F.col("hits") / F.col("n_pairs") >= F.lit(bound)).alias(
+                "recall_ok"
+            ),
+        )
+
+    lsh_jl = lsh_topk(proj, "vec_id", "embedding", dim=16, k=5)
+    ivf_jl = ivf_topk(proj, "vec_id", "embedding", k=5)
     return (
         method_row("lsh", lsh)
         .unionAll(method_row("ivf", ivf))
@@ -1108,4 +1158,6 @@ def ann_recall_report(spark, sf_dir):
         .unionAll(method_row("ivfpq", ivfpq))
         .unionAll(method_row("ivf_auto", ivf_auto, bound=0.9))
         .unionAll(method_row("ivfpq_auto", ivfpq_auto, bound=0.9))
+        .unionAll(jl_row("lsh_jl", lsh_jl))
+        .unionAll(jl_row("ivf_jl", ivf_jl))
     )
