@@ -209,6 +209,71 @@ PICK = {
         "joins on the edge list) runs behind a per-round localCheckpoint "
         "lineage cut; the round plan is asserted in tests/test_phase10."
     ),
+    "semantic_dedup_autok": (
+        "SemDeDup auto-k (r6): k = ceil(n/64) keeps candidate volume "
+        "linear; the pair stage is an EQUI-join on the k-means cluster "
+        "id over exact-collapse representatives — never corpus-squared; "
+        "assignment is map-only (transform/array_min literal plan here; "
+        "the broadcast Arrow kernel takes over at k>64)."
+    ),
+    "incremental_ingest_dedup_bucketed": (
+        "Bucketed standing index (r6): the index scan shows Bucketed: "
+        "true and ZERO Exchange above it — only the incoming batch "
+        "shuffles. This is the 100 TB ingest shape (plan-tested vs an "
+        "unbucketed control)."
+    ),
+    "quality_pipeline_manifest": (
+        "Materializing pipeline (r6): the gate stage writes "
+        "keep-PARTITIONED shards (lineage cut); this final plan reads "
+        "them with partition-level keep pruning (PartitionFilters, no "
+        "data filter) and exactly 2 post-boundary exchanges "
+        "(dedup-by-fingerprint, manifest agg)."
+    ),
+    "embedding_random_projection": (
+        "JL projection (r6 breadth): map-only — the 16-row sign "
+        "matrix enters as a documented bounded BroadcastNestedLoopJoin "
+        "and the projection itself is a nested-HOF expression inside "
+        "the scan stage; no shuffle anywhere."
+    ),
+    "join_key_skew_profile": (
+        "Skew profiler (r6 breadth): ONE counting aggregation over the "
+        "probe side, a 1-row totals broadcast (documented BNLJ), and "
+        "TakeOrderedAndProject for the top keys — the decision input "
+        "for the salting path, priced at one scan."
+    ),
+    "event_value_outliers_mad": (
+        "MAD outliers (r6 breadth): per-key order-statistic medians "
+        "under a total order — two window passes partitioned by the "
+        "key (house rule: never an unpartitioned data-sized window), "
+        "then a map-side flag expression."
+    ),
+    "semantic_dedup_incremental_batch": (
+        "Incremental SemDeDup (r7): Lloyd iterations touch ONLY the "
+        "standing corpus; the batch assigns to the final centroids "
+        "map-only and eps-checks against its own cluster's "
+        "representatives via a cluster-id EQUI-join — batch-sized "
+        "work, no standing-corpus rescan."
+    ),
+    "image_near_dup_pairs": (
+        "Image near-dup (r7): dHash bits from the decoded-luma "
+        "mapInPandas stage, then the banding shape shared with MinHash "
+        "LSH — band-key equi-join for candidates, full Hamming "
+        "distance verify; no image-pair cartesian anywhere."
+    ),
+    "audio_decode_stats": (
+        "Audio decode (r7): payload synthesis is expression-only "
+        "inside the scan stage, the WAV decode is ONE Arrow "
+        "mapInPandas (map-only, zero shuffle), and the stats are "
+        "computed worker-side — rows crossing Arrow are per-payload "
+        "stats, never samples."
+    ),
+    "audio_silence_flags": (
+        "Audio silence gate (r7): frame energies from the map-only "
+        "decode stage, one doc-keyed aggregation joined back on "
+        "doc_id — the integer-exact threshold is a map-side "
+        "expression; frames-per-doc is bounded so the join is "
+        "skew-safe."
+    ),
 }
 
 HEADER = """# PLANS — physical plans of headline queries (sf0.01, AQE on)

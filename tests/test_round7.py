@@ -207,3 +207,60 @@ def test_semantic_dedup_incremental_kernel_regime_bitequal(spark, monkeypatch):
         ).collect()
     )
     assert literal == kernel
+
+
+def test_runtime_bloom_filter_guards_beyond_broadcast_decontam(spark, tmp_path):
+    """The 100 TB decontam regime (r7): at test scale the bench-gram
+    side of `decontam_ngram_overlap` broadcasts, so the corpus stream
+    is filtered map-side for free. Once the benchmark gram set outgrows
+    the broadcast threshold the join becomes a shuffle join — and the
+    engine's answer there is Catalyst's RUNTIME BLOOM FILTER injection
+    (`spark.sql.optimizer.runtime.bloomFilter.enabled`, on by default),
+    which builds a bloom filter from the creation side and injects a
+    `might_contain` prefilter into the corpus scan, exactly the
+    hand-rolled bloom-prefilter pattern but optimizer-owned. This test
+    pins that the knob fires on the decontam join shape (big gram
+    stream ⋈ selectively-filtered small side) and that the prefiltered
+    plan returns identical results. The size thresholds are lowered to
+    reproduce the >10 GB-scan regime at fixture scale."""
+    big_p = str(tmp_path / "grams_big")
+    small_p = str(tmp_path / "grams_small")
+    spark.range(0, 200_000).selectExpr(
+        "id AS doc_id", "xxhash64(cast(id % 5000 AS string)) AS h"
+    ).write.parquet(big_p)
+    spark.range(0, 50_000).selectExpr(
+        "xxhash64(cast(id AS string)) AS h", "id % 100 AS bench_part"
+    ).write.parquet(small_p)
+
+    def run_join():
+        corpus = spark.read.parquet(big_p)
+        bench = (
+            spark.read.parquet(small_p)
+            .filter("bench_part = 3")
+            .select("h")
+        )
+        return corpus.join(bench, "h")
+
+    baseline = run_join().count()
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": (
+            "100MB"
+        ),
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        j = run_join()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, (
+            "runtime bloom filter was not injected on the shuffle-join "
+            "decontam shape"
+        )
+        assert j.count() == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
