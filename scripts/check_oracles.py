@@ -160,6 +160,17 @@ def main():
     if manifest_path is not None:
         import json
 
+        # A subset run (explicit query names) MERGES into an existing
+        # manifest instead of clobbering the full record — new queries
+        # can be appended without a full-gate rerun, and the file stays
+        # one-digest-per-catalog-query.
+        if only and os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                prior = json.load(f)
+            if prior.get("sf_dir") == sf_dir:
+                merged = prior.get("queries", {})
+                merged.update(manifest)
+                manifest = merged
         with open(manifest_path, "w") as f:
             json.dump(
                 {"sf_dir": sf_dir, "queries": dict(sorted(manifest.items()))},

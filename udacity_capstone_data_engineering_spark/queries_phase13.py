@@ -1,9 +1,10 @@
-"""Phase-13 query tier (round 7): the audio leg of the multimodal
-tier — REAL WAV/PCM16 decode under the value-hash gate, mirroring the
-round-6 image codec (`queries_phase11`): synthesized RIFF payloads from
-document text bytes, a pure-numpy decoder behind Arrow-batched
-``mapInPandas``, quarantine branches (corrupt AND unsupported) that are
-themselves hash-gated, and exact-integer statistics throughout.
+"""Phase-13 query tier (round 7): the audio and video legs of the
+multimodal tier — REAL WAV/PCM16 decode and concatenated-PPM video
+frame math under the value-hash gate, mirroring the round-6 image
+codec (`queries_phase11`): synthesized payloads from document text
+bytes, pure-numpy decoders behind Arrow-batched ``mapInPandas``,
+quarantine branches (corrupt AND unsupported) that are themselves
+hash-gated, and exact-integer statistics throughout.
 
 Same contract as ``queries.py`` (imported at the end of that module so
 everything lands in one registry); house determinism rules apply.
@@ -225,4 +226,179 @@ def audio_silence_flags(spark, sf_dir):
         "frame_idx",
         "energy",
         (F.col("energy") * F.col("__nf") * 2 < F.col("__tot")).alias("silent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: REAL video frame math (concatenated PPM P6 frames)
+# ---------------------------------------------------------------------------
+
+# Synthesized 4-frame 8x4 video per document: frame f's 96 pixel bytes
+# are text chars [32f+1, 32f+96] (stride 32 < 96, so consecutive frames
+# overlap 2/3 — a slowly-panning scene, realistic non-zero deltas).
+# Populations, all oracle-gated:
+#   doc_id % 6 == 0        -> last frame TRUNCATED mid-body -> 'corrupt'
+#   else doc_id % 13 == 5  -> non-PPM container magic       -> 'unsupported'
+#   otherwise              -> 4 valid frames                -> 'ok'
+_VID_W, _VID_H = 8, 4
+_VID_FRAMES = 4
+_VID_STRIDE = 32
+_VID_BODY = _VID_W * _VID_H * 3  # 96
+_VID_NEED = _VID_STRIDE * (_VID_FRAMES - 1) + _VID_BODY  # 192
+_VID_HDR = f"P6\n{_VID_W} {_VID_H}\n255\n"
+_VID_CORRUPT_MOD = 6
+_VID_UNSUP_MOD = 13
+_VID_UNSUP_RES = 5
+_VID_CORRUPT_BODY = 40  # bytes present in the truncated last frame
+
+
+def _video_payloads(spark, sf_dir):
+    # Same ASCII invariant as the image/audio tiers: both engines
+    # filter to char-length == byte-length so the populations agree.
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") >= _VID_NEED)
+        & (F.length("text") == F.octet_length("text"))
+    )
+    frames = [
+        F.concat(
+            F.lit(_VID_HDR),
+            F.substring("text", _VID_STRIDE * f + 1, _VID_BODY),
+        )
+        for f in range(_VID_FRAMES)
+    ]
+    ok = F.encode(F.concat(*frames), "UTF-8")
+    corrupt = F.encode(
+        F.concat(
+            *frames[:-1],
+            F.lit(_VID_HDR),
+            F.substring(
+                "text",
+                _VID_STRIDE * (_VID_FRAMES - 1) + 1,
+                _VID_CORRUPT_BODY,
+            ),
+        ),
+        "UTF-8",
+    )
+    unsup = F.concat(F.lit(b"MP4\x00"), F.encode(F.concat(*frames), "UTF-8"))
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % _VID_CORRUPT_MOD == 0, corrupt)
+        .when(F.col("doc_id") % _VID_UNSUP_MOD == _VID_UNSUP_RES, unsup)
+        .otherwise(ok)
+        .alias("payload"),
+    )
+
+
+# Shared oracle scaffolding: labeled population + per-(frame, pixel)
+# exact luma (r+g+b)//3 from the text bytes.
+_VID_LAB_SQL = f"""
+    d AS (SELECT doc_id, text FROM documents
+          WHERE strlen(text) >= {_VID_NEED}
+            AND length(text) = strlen(text)),
+    lab AS (SELECT doc_id, text,
+                   CASE WHEN doc_id % {_VID_CORRUPT_MOD} = 0 THEN 'corrupt'
+                        WHEN doc_id % {_VID_UNSUP_MOD} = {_VID_UNSUP_RES}
+                             THEN 'unsupported'
+                        ELSE 'ok' END AS status
+            FROM d),
+    lum AS (SELECT doc_id, f, p,
+                   CAST((ascii(substring(text, CAST({_VID_STRIDE}*f+3*p+1 AS INT), 1))
+                       + ascii(substring(text, CAST({_VID_STRIDE}*f+3*p+2 AS INT), 1))
+                       + ascii(substring(text, CAST({_VID_STRIDE}*f+3*p+3 AS INT), 1)))
+                        // 3 AS BIGINT) AS luma
+            FROM lab, range({_VID_FRAMES}) tf(f), range({_VID_W * _VID_H}) tp(p)
+            WHERE status = 'ok')
+"""
+
+
+@_register(
+    "video_decode_stats",
+    f"""
+    WITH {_VID_LAB_SQL},
+    sums AS (SELECT doc_id, CAST(sum(luma) AS BIGINT) AS luma_sum
+             FROM lum GROUP BY doc_id)
+    SELECT l.doc_id, l.status,
+           CASE WHEN l.status = 'ok' THEN {_VID_FRAMES} END AS n_frames,
+           CASE WHEN l.status = 'ok' THEN {_VID_W} END AS width,
+           CASE WHEN l.status = 'ok' THEN {_VID_H} END AS height,
+           u.luma_sum
+    FROM lab l LEFT JOIN sums u USING (doc_id)
+    """,
+)
+def video_decode_stats(spark, sf_dir):
+    """REAL video decode under the value-hash gate (the third
+    multimodal leg; image r6, audio r7): concatenated binary-PPM
+    payloads walked frame-by-frame by the pure-numpy container parser
+    (``operators/video.decode_video`` — header grammar, dimension
+    consistency, byte-offset tracking), with the total exact-integer
+    luma mass per document. Corrupt (last frame truncated mid-body,
+    1-in-6) and unsupported (non-PPM container magic) branches are
+    both hash-gated. Map-only Arrow mapInPandas, zero shuffle."""
+    from udacity_capstone_data_engineering_spark.operators.video import video_decode_stats as vds
+
+    return vds(_video_payloads(spark, sf_dir), "payload", "doc_id")
+
+
+@_register(
+    "video_frame_deltas",
+    f"""
+    WITH {_VID_LAB_SQL}
+    SELECT a.doc_id, CAST(a.f AS INT) AS frame_idx,
+           CAST(sum(abs(a.luma - b.luma)) AS BIGINT) AS delta
+    FROM lum a JOIN lum b
+      ON a.doc_id = b.doc_id AND a.p = b.p AND b.f = a.f - 1
+    WHERE a.f >= 1
+    GROUP BY a.doc_id, a.f
+    """,
+)
+def video_frame_deltas(spark, sf_dir):
+    """Per-transition motion energy over decoded frames: exact BIGINT
+    sum of absolute per-pixel luma differences for each consecutive
+    frame pair — the scene-cut/keyframe primitive. Quarantined
+    payloads contribute no rows (verdicts in ``video_decode_stats``);
+    the oracle recomputes every pixel byte via substring+ascii and
+    pairs frames with a (doc, pixel, f-1) self-join."""
+    from udacity_capstone_data_engineering_spark.operators.video import video_frame_deltas as vfd
+
+    return vfd(_video_payloads(spark, sf_dir), "payload", "doc_id")
+
+
+@_register(
+    "video_scene_cuts",
+    f"""
+    WITH {_VID_LAB_SQL},
+    del AS (SELECT a.doc_id, CAST(a.f AS INT) AS frame_idx,
+                   CAST(sum(abs(a.luma - b.luma)) AS BIGINT) AS delta
+            FROM lum a JOIN lum b
+              ON a.doc_id = b.doc_id AND a.p = b.p AND b.f = a.f - 1
+            WHERE a.f >= 1
+            GROUP BY a.doc_id, a.f)
+    SELECT doc_id, frame_idx, delta,
+           2 * delta * (COUNT(*) OVER (PARTITION BY doc_id))
+               > 3 * (SUM(delta) OVER (PARTITION BY doc_id)) AS is_cut
+    FROM del
+    """,
+)
+def video_scene_cuts(spark, sf_dir):
+    """Relative scene-cut gate composed ON TOP of the frame-delta
+    operator: a transition is a cut iff its motion energy exceeds 1.5x
+    the document's mean transition energy — written integer-exact as
+    ``2 * delta * n_transitions > 3 * total_delta`` (no division, per
+    the house divide-then-round rule). The video analogue of the audio
+    tier's relative silence gate; the shot-boundary primitive a video
+    curation pipeline filters on before any model pass."""
+    from udacity_capstone_data_engineering_spark.operators.video import video_frame_deltas as vfd
+
+    fe = vfd(_video_payloads(spark, sf_dir), "payload", "doc_id")
+    tot = fe.groupBy("doc_id").agg(
+        F.sum("delta").alias("__tot"),
+        F.count(F.lit(1)).alias("__nt"),
+    )
+    return fe.join(tot, "doc_id").select(
+        "doc_id",
+        "frame_idx",
+        "delta",
+        (F.col("delta") * F.col("__nt") * 2 > F.col("__tot") * 3).alias(
+            "is_cut"
+        ),
     )
