@@ -264,3 +264,108 @@ def test_runtime_bloom_filter_guards_beyond_broadcast_decontam(spark, tmp_path):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_pairwise_cosine_fast_path_bit_equal(spark):
+    """r7 perf rewrite of the exact-cosine anchors: the unrolled
+    codegen dot + once-per-row squared norms must be BIT-identical to
+    the reference HOF formulation (same left-to-right double
+    association), including the zero-norm -> NULL guard — these
+    queries' sha256 digests are pinned in the committed manifests."""
+    import numpy as np
+
+    from udacity_capstone_data_engineering_spark.functions.vectors import (
+        cosine_similarity,
+        cosine_similarity_presq,
+        dot,
+        dot_unrolled,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = [
+        (int(i), [float(x) for x in rng.normal(0, 1, 7)]) for i in range(80)
+    ]
+    rows.append((80, [0.0] * 7))  # zero-norm -> NULL cosine
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    q = emb.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        dot("embedding", "embedding").alias("qsq"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        dot("embedding", "embedding").alias("csq"),
+    )
+    joined = q.crossJoin(c).filter(F.col("qid") != F.col("cid"))
+    got = joined.select(
+        "qid",
+        "cid",
+        cosine_similarity_presq(
+            dot_unrolled("qv", "cv", 7), F.col("qsq"), F.col("csq")
+        ).alias("cos"),
+    ).collect()
+    ref = joined.select(
+        "qid", "cid", cosine_similarity("qv", "cv").alias("cos")
+    ).collect()
+    ref_map = {(r["qid"], r["cid"]): r["cos"] for r in ref}
+    assert len(got) == len(ref) == 81 * 80
+    n_null = 0
+    for r in got:
+        expect = ref_map[(r["qid"], r["cid"])]
+        if expect is None:
+            assert r["cos"] is None
+            n_null += 1
+        else:
+            # bit equality, not approx
+            assert r["cos"] == expect, (r["qid"], r["cid"])
+    assert n_null == 2 * 80  # zero vector as query and as neighbor
+
+
+def test_exact_cosine_kernel_bit_equal_and_null_contract(spark):
+    """The broadcast exact-cosine Arrow kernel (r7 — left-to-right
+    accumulation) must be bit-identical to the HOF expression
+    formulation, including zero-norm -> NULL and the ordered-pair
+    variant's id_a < id_b population."""
+    import numpy as np
+
+    from udacity_capstone_data_engineering_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from udacity_capstone_data_engineering_spark.operators.similarity import (
+        _exact_cosine_kernel_pairs,
+    )
+
+    rng = np.random.default_rng(31)
+    rows = [
+        (int(i), [float(x) for x in rng.normal(0, 1, 9)]) for i in range(60)
+    ]
+    rows.append((60, [0.0] * 9))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_raw"]
+        for r in _exact_cosine_kernel_pairs(
+            emb, "vec_id", "embedding", 9
+        ).collect()
+    }
+    q = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    ref = (
+        q.crossJoin(c)
+        .filter("qid != cid")
+        .select("qid", "cid", cosine_similarity("qv", "cv").alias("cos"))
+        .collect()
+    )
+    assert len(got) == len(ref) == 61 * 60
+    for r in ref:
+        assert got[(r["qid"], r["cid"])] == r["cos"], (r["qid"], r["cid"])
+
+    ordered = _exact_cosine_kernel_pairs(
+        emb, "vec_id", "embedding", 9, ordered=True
+    ).collect()
+    assert len(ordered) == 61 * 60 // 2
+    assert all(r["query_id"] < r["neighbor_id"] for r in ordered)
+    for r in ordered:
+        assert got[(r["query_id"], r["neighbor_id"])] == r["cosine_raw"]

@@ -35,6 +35,50 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     return F.when(denom > 0, dot(a, b) / denom)
 
 
+def dot_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:
+    """``dot`` unrolled to ``dim`` scalar terms — BIT-IDENTICAL floats
+    (r7 perf: the n² exact-cosine anchors).
+
+    ``aggregate`` folds ``((0.0 + t0) + t1) + ...`` left-to-right; this
+    builds the same association explicitly from scalar ``F.get``
+    products, so every intermediate double is the same — but the whole
+    expression stays inside whole-stage codegen instead of the
+    INTERPRETED higher-order-function evaluator (measured ~15x per pair
+    on the sf0.1 4M-pair cross join). NULL semantics match too:
+    ``F.get`` past the end yields NULL (never an ANSI index error) and
+    any NULL term nulls the sum, exactly like zip_with's null padding.
+
+    Only valid when ``dim`` covers both arrays (longer tails would be
+    silently dropped where ``dot`` would keep folding) — callers probe
+    the corpus dim and fall back to ``dot`` when unknown.
+
+    The element is fetched from the RAW array and cast scalar-wise
+    (float->double widening is exact, so the product doubles are the
+    same as casting the whole array first) — embedding the array cast
+    under every ``F.get`` would re-cast the full array per term,
+    O(dim²) per pair (the first cut of this function did exactly that
+    and was SLOWER than the HOF fold it replaced)."""
+    ac = F.col(a) if isinstance(a, str) else a
+    bc = F.col(b) if isinstance(b, str) else b
+    s = F.lit(0.0)
+    for i in range(dim):
+        s = s + F.get(ac, i).cast("double") * F.get(bc, i).cast("double")
+    return s
+
+
+def cosine_similarity_presq(
+    dotp: Column, a_sumsq: Column, b_sumsq: Column
+) -> Column:
+    """``cosine_similarity`` with the per-side squared norms computed
+    ONCE per row instead of once per pair (r7 perf): callers project
+    ``dot(v, v)`` on each join side before the n² join, so the HOF
+    norm fold runs n times, not n² times. ``sqrt(a_sumsq) *
+    sqrt(b_sumsq)`` produces the identical doubles the inline
+    ``l2_norm(a) * l2_norm(b)`` would."""
+    denom = F.sqrt(a_sumsq) * F.sqrt(b_sumsq)
+    return F.when(denom > 0, dotp / denom)
+
+
 def dot_vectorized(a: Column | str, b: Column | str) -> Column:
     """Arrow-batched numpy dot product.
 

@@ -27,19 +27,122 @@ from pyspark.sql import functions as F
 from udacity_capstone_data_engineering_spark.functions.vectors import cosine_similarity
 
 
+def _exact_cosine_kernel_pairs(
+    emb: DataFrame, id_col: str, vec_col: str, dim: int, ordered: bool = False
+) -> DataFrame:
+    """All-pairs exact cosine via a BROADCAST raw-vector matrix and an
+    Arrow kernel whose accumulation is LEFT-TO-RIGHT over dims
+    (``acc = acc + q[:, i] * c[:, i]``) — each IEEE double op is
+    correctly rounded in the SAME order as the JVM ``aggregate`` fold
+    and DuckDB's ``list_dot_product``, so the result is BIT-IDENTICAL
+    to the expression path (pinned by
+    test_pairwise_cosine_fast_path_bit_equal and the committed
+    manifest digests), unlike ``einsum``'s SIMD/pairwise order. The n²
+    join carries only id pairs; vectors live once per executor.
+
+    This is the exact-anchor twin of ``_score_pairs``' serving kernel:
+    that one is approximate-friendly (einsum over unit vectors), this
+    one is oracle-grade. ~20x over the interpreted n² expression plan
+    (the three exact anchors were the most expensive catalog rows)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    spark = emb.sparkSession
+    rows = emb.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    sumsq = np.zeros(len(ids))
+    for i in range(dim):  # left-to-right, matching the JVM fold
+        sumsq = sumsq + mat[:, i] * mat[:, i]
+    index = {int(v): p for p, v in enumerate(ids)}
+    bc = spark.sparkContext.broadcast((index, mat, sumsq))
+
+    def score(qs, cs):
+        idx, m, sq = bc.value
+        qi = qs.map(idx).to_numpy(dtype=np.int64)
+        ci = cs.map(idx).to_numpy(dtype=np.int64)
+        acc = np.zeros(len(qs))
+        qm, cm = m[qi], m[ci]
+        for i in range(m.shape[1]):  # left-to-right per pair
+            acc = acc + qm[:, i] * cm[:, i]
+        denom = np.sqrt(sq[qi]) * np.sqrt(sq[ci])
+        ok = denom > 0
+        out = np.zeros(len(qs))
+        out[ok] = acc[ok] / denom[ok]
+        res = pd.array(out, dtype="Float64")
+        res[~ok] = pd.NA  # zero-norm -> SQL NULL, same as when(denom>0)
+        return pd.Series(res)
+
+    udf = pandas_udf(score, "double")
+    ids_df = emb.select(F.col(id_col))
+    pairs = ids_df.select(F.col(id_col).alias("query_id")).crossJoin(
+        ids_df.select(F.col(id_col).alias("neighbor_id"))
+    )
+    pairs = pairs.filter(
+        F.col("query_id") < F.col("neighbor_id")
+        if ordered
+        else F.col("query_id") != F.col("neighbor_id")
+    )
+    # UNROUNDED — callers that threshold must compare the raw double
+    # (the oracle filters before rounding); display rounding is theirs.
+    return pairs.select(
+        "query_id",
+        "neighbor_id",
+        udf(F.col("query_id"), F.col("neighbor_id")).alias("cosine_raw"),
+    )
+
+
 def _pairwise_cosine(
     emb: DataFrame, id_col: str, vec_col: str, queries: DataFrame | None = None
 ) -> DataFrame:
-    """(query id, candidate id, cosine) for all pairs, excluding self."""
-    q = (queries or emb).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    """(query id, candidate id, cosine) for all pairs, excluding self.
+
+    r7 perf, bit-identical floats: under the broadcast byte cap the
+    self-join anchors route through the exact-accumulation Arrow
+    kernel (see ``_exact_cosine_kernel_pairs``); beyond it — or when a
+    separate ``queries`` relation is supplied, whose vectors need not
+    live in ``emb`` — the expression plan runs with per-side squared
+    norms projected ONCE per row (n folds, not n²) and the per-pair
+    dot as the unrolled scalar expression."""
+    from udacity_capstone_data_engineering_spark.functions.vectors import (
+        cosine_similarity_presq,
+        dot,
+        dot_unrolled,
     )
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+
+    head = emb.select(F.size(F.col(vec_col)).alias("d")).head()
+    dim = int(head["d"]) if head is not None else 0
+    if queries is None and dim > 0:
+        n = emb.count()
+        if n * dim * 8 <= BROADCAST_SCORE_MAX_BYTES:
+            return _exact_cosine_kernel_pairs(
+                emb, id_col, vec_col, dim
+            ).select(
+                "query_id",
+                "neighbor_id",
+                F.round("cosine_raw", 6).alias("cosine"),
+            )
+    q = (queries or emb).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        dot(vec_col, vec_col).alias("__qsq"),
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        dot(vec_col, vec_col).alias("__csq"),
+    )
     joined = q.crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
+    dotp = (
+        dot_unrolled("qv", "cv", dim) if dim > 0 else dot("qv", "cv")
+    )
     return joined.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_similarity("qv", "cv"), 6).alias("cosine"),
+        F.round(
+            cosine_similarity_presq(dotp, F.col("__qsq"), F.col("__csq")), 6
+        ).alias("cosine"),
     )
 
 

@@ -734,8 +734,28 @@ def embedding_dup_pairs(spark, sf_dir):
     from udacity_capstone_data_engineering_spark.functions.vectors import (
         cosine_similarity,
     )
+    from udacity_capstone_data_engineering_spark.operators.similarity import (
+        BROADCAST_SCORE_MAX_BYTES,
+        _exact_cosine_kernel_pairs,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # r7 perf, bit-identical floats: under the broadcast cap the pairs
+    # score through the exact-accumulation Arrow kernel (left-to-right
+    # dim loop == the JVM fold == the oracle's list_dot_product; the
+    # threshold compares the UNROUNDED double, as the oracle does).
+    head = emb.select(F.size("embedding").alias("d")).head()
+    dim = int(head["d"]) if head is not None else 0
+    n = emb.count()
+    if dim > 0 and n * dim * 8 <= BROADCAST_SCORE_MAX_BYTES:
+        scored = _exact_cosine_kernel_pairs(
+            emb, "vec_id", "embedding", dim, ordered=True
+        )
+        return scored.filter(F.col("cosine_raw") >= 0.4).select(
+            F.col("query_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            F.round("cosine_raw", 6).alias("cosine"),
+        )
     a, b = emb.alias("a"), emb.alias("b")
     cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
     return (
