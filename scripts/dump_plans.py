@@ -247,7 +247,7 @@ PICK = {
         "key (house rule: never an unpartitioned data-sized window), "
         "then a map-side flag expression."
     ),
-    "semantic_dedup_incremental_batch": (
+    "semantic_dedup_incremental": (
         "Incremental SemDeDup (r7): Lloyd iterations touch ONLY the "
         "standing corpus; the batch assigns to the final centroids "
         "map-only and eps-checks against its own cluster's "
@@ -273,6 +273,20 @@ PICK = {
         "doc_id — the integer-exact threshold is a map-side "
         "expression; frames-per-doc is bounded so the join is "
         "skew-safe."
+    ),
+    "video_scene_cuts": (
+        "Video scene cuts (r7): the concatenated-PPM walker runs as "
+        "ONE map-only Arrow stage emitting per-transition deltas "
+        "(frames cross Arrow as BIGINT deltas, never pixels); the "
+        "relative cut gate is a doc-keyed agg joined back — same "
+        "shape as the audio silence gate."
+    ),
+    "embedding_cosine_topk": (
+        "Exact-cosine anchor (r7 rewrite): id-only n^2 pair stream + "
+        "broadcast raw-vector matrix scored by the exact-accumulation "
+        "Arrow kernel (bit-identical to the HOF fold, manifest-pinned); "
+        "vectors never shuffle, the window top-k sees (id, id, double) "
+        "rows only."
     ),
 }
 

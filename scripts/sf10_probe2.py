@@ -1,0 +1,134 @@
+"""Second-decade probe, process-isolated runner (round 7).
+
+`sf10_probe.py` runs every kernel inside ONE driver process; twice this
+round its LSH sf1 leg wedged on a single straggler task that the SAME
+kernel, run standalone, never shows (53-57 s healthy walls — see
+SCALING.md round-7). Rather than debug a heisen-hang inside a
+measurement harness, this runner executes each (kernel, sf) cell in a
+FRESH subprocess: cold JVM, no cross-kernel session state, and a hang
+is contained by a per-cell timeout instead of wedging the whole probe.
+Interleaving (sf1 then sf10 per kernel, the SCALING.md contention
+protocol) is preserved across cells.
+
+Ground truths come from `sf10_probe.exact_topk_fast`'s npy cache
+(computed once, reused by every cell).
+
+Usage: python scripts/sf10_probe2.py [--timeout SECS] [cell ...]
+  cells default to: lsh ivf pq ivfpq semdedup docs
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CELL_SRC = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from scripts.sf10_probe import SF1, SF10, exact_topk_fast
+from udacity_capstone_data_engineering_spark import get_spark
+
+kind, tag = {kind!r}, {tag!r}
+sf_dir = SF1 if tag == "sf1" else SF10
+spark = get_spark(shuffle_partitions=32)
+spark.sparkContext.setLogLevel("ERROR")
+
+if kind in ("lsh", "ivf", "pq", "ivfpq"):
+    from udacity_capstone_data_engineering_spark.operators.ivf import ivf_topk
+    from udacity_capstone_data_engineering_spark.operators.pq import ivfpq_topk, pq_topk
+    from udacity_capstone_data_engineering_spark.operators.similarity import lsh_topk
+
+    fns = dict(
+        lsh=lambda e: lsh_topk(e, "vec_id", "embedding", dim=64, k=5),
+        ivf=lambda e: ivf_topk(e, "vec_id", "embedding", k=5),
+        pq=lambda e: pq_topk(e, "vec_id", "embedding", dim=64, k=5),
+        ivfpq=lambda e: ivfpq_topk(e, "vec_id", "embedding", dim=64, k=5),
+    )
+    emb = spark.read.parquet(sf_dir + "/embeddings.parquet")
+    t0 = time.monotonic()
+    got = {{(r.query_id, r.neighbor_id) for r in fns[kind](emb).collect()}}
+    wall = round(time.monotonic() - t0, 1)
+    truth = exact_topk_fast(sf_dir)
+    rec = round(len(truth & got) / len(truth), 4)
+    print("CELL " + json.dumps(
+        {{"cell": kind, "sf": tag, "sec": wall, "recall@5": rec}}), flush=True)
+elif kind == "semdedup":
+    from udacity_capstone_data_engineering_spark.operators.semdedup import auto_k, semantic_dedup
+
+    emb = spark.read.parquet(sf_dir + "/embeddings.parquet")
+    n = emb.count()
+    t0 = time.monotonic()
+    res = semantic_dedup(emb, "vec_id", "embedding", k=None)
+    n_dup = res.filter("is_dup").count()
+    wall = round(time.monotonic() - t0, 1)
+    print("CELL " + json.dumps(
+        {{"cell": "semdedup_autok", "sf": tag, "n": n, "k": auto_k(n),
+          "n_dup": n_dup, "sec": wall}}), flush=True)
+else:  # docs
+    from udacity_capstone_data_engineering_spark.queries import queries
+
+    qs = queries()
+    for qname in ("exact_dedup_docs", "near_dup_collapsed",
+                  "near_dup_minhash_lsh", "doc_fingerprints", "simhash_docs"):
+        t0 = time.monotonic()
+        qs[qname](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        print("CELL " + json.dumps(
+            {{"cell": qname, "sf": tag,
+              "sec": round(time.monotonic() - t0, 1)}}), flush=True)
+spark.stop()
+"""
+
+
+def main() -> None:
+    argv = list(sys.argv[1:])
+    timeout = 1800
+    if "--timeout" in argv:
+        i = argv.index("--timeout")
+        timeout = int(argv[i + 1])
+        del argv[i : i + 2]
+    cells = argv or ["lsh", "ivf", "pq", "ivfpq", "semdedup", "docs"]
+    results: list[dict] = []
+    for kind in cells:
+        for tag in ("sf1", "sf10"):  # interleaved per kernel
+            src = _CELL_SRC.format(repo=REPO, kind=kind, tag=tag)
+            try:
+                proc = subprocess.run(
+                    [sys.executable, "-c", src],
+                    capture_output=True,
+                    text=True,
+                    timeout=timeout,
+                )
+                for line in proc.stdout.splitlines():
+                    if line.startswith("CELL "):
+                        rec = json.loads(line[5:])
+                        results.append(rec)
+                        print(json.dumps(rec), flush=True)
+                if proc.returncode != 0:
+                    results.append(
+                        {"cell": kind, "sf": tag, "error": proc.stderr[-400:]}
+                    )
+                    print(json.dumps(results[-1]), flush=True)
+            except subprocess.TimeoutExpired:
+                results.append({"cell": kind, "sf": tag, "error": f"timeout {timeout}s"})
+                print(json.dumps(results[-1]), flush=True)
+    # decade exponents for cells measured at both scales
+    import math
+
+    walls: dict[str, dict[str, float]] = {}
+    for r in results:
+        if "sec" in r:
+            walls.setdefault(r["cell"], {})[r["sf"]] = r["sec"]
+    for cell, w in walls.items():
+        if "sf1" in w and "sf10" in w:
+            exp = round(
+                math.log10(max(w["sf10"], 1e-3) / max(w["sf1"], 1e-3)), 2
+            )
+            print(json.dumps({"cell": cell, "exp_sf1_to_sf10": exp}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -79,6 +79,13 @@ def test_no_python_udfs_in_relational_tier(spark, sf_dir):
         "ann_recall_report",    # composes the ANN queries above
         "rerank_two_stage_ann", # LSH stage-1 (batch matmul bucketing)
         "token_heavy_hitters_mg",  # Misra-Gries mapInPandas partials
+        # r7: the exact-cosine anchors score through the broadcast
+        # exact-accumulation Arrow kernel under the byte cap
+        # (bit-identical to the JVM fold — manifest-pinned); the pair
+        # stream carries ids only, vectors never cross Python per-row.
+        "embedding_cosine_topk",
+        "embedding_dup_pairs",
+        "rerank_two_stage",     # exact stage-1 = brute_force -> kernel
     }
     for name, fn in QUERIES.items():
         if name in declared_arrow:
