@@ -171,6 +171,15 @@ def main():
                 merged = prior.get("queries", {})
                 merged.update(manifest)
                 manifest = merged
+            else:
+                # ADVICE r7: a subset run against a DIFFERENT sf_dir must
+                # not silently replace the full one-digest-per-query
+                # record with just the subset — divert to a sibling file.
+                manifest_path += f".subset-{os.path.basename(sf_dir)}"
+                print(
+                    f"WARNING: prior manifest is for {prior.get('sf_dir')}; "
+                    f"writing subset digests to {manifest_path} instead"
+                )
         with open(manifest_path, "w") as f:
             json.dump(
                 {"sf_dir": sf_dir, "queries": dict(sorted(manifest.items()))},

@@ -1,0 +1,416 @@
+"""Round-8 regression battery: the five ADVICE-r7 defects plus the
+VERDICT-r7 #6 byte-cap-fallback equivalence gate for the exact-cosine
+anchors."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from udacity_capstone_data_engineering_spark.operators import similarity
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r7 (medium): the exact-cosine kernel must never crash on NULL
+# or ragged-dimension vectors — excluded ids score NULL, like the
+# expression path.
+# ---------------------------------------------------------------------------
+
+
+def test_kernel_pairs_degenerate_vectors_null_not_crash(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, None),  # NULL vector: np.array would raise pre-fix
+            (4, [1.0]),  # ragged short
+            (5, [1.0, 0.0, 3.0]),  # ragged long
+            (6, [0.0, 0.0]),  # zero norm
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity._pairwise_cosine(
+            emb, "vec_id", "embedding"
+        ).collect()
+    }
+    assert len(got) == 30  # all ordered pairs survive, none dropped
+    assert got[(1, 2)] == 0.0
+    for q, n in got:
+        if q in (3, 4, 5, 6) or n in (3, 4, 5, 6):
+            assert got[(q, n)] is None, (q, n, got[(q, n)])
+
+
+def test_kernel_pairs_all_degenerate_returns_all_null(spark):
+    emb = spark.createDataFrame(
+        [(1, None), (2, [1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    # dim probe hits the first non-null head row; whatever regime runs,
+    # the job must complete with NULL cosines, not crash.
+    rows = similarity._pairwise_cosine(emb, "vec_id", "embedding").collect()
+    assert {r.cosine for r in rows} == {None}
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r7 (low): dot_unrolled tail-drop — a query vector LONGER than
+# the probed corpus dim must score NULL (zip_with null-padding
+# semantics), never a silently-truncated non-NULL cosine.
+# ---------------------------------------------------------------------------
+
+
+def test_pairwise_cosine_external_queries_longer_vector_nulls(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(10, [1.0, 0.0, 9.0]), (11, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity._pairwise_cosine(
+            emb, "vec_id", "embedding", queries=queries
+        ).collect()
+    }
+    # longer-than-dim query: every pair NULL (pre-fix: non-NULL wrong
+    # cosine from the dropped tail)
+    assert got[(10, 1)] is None and got[(10, 2)] is None
+    # conforming query still scores through the unrolled fast path
+    assert got[(11, 1)] == 1.0 and got[(11, 2)] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r7 (low): kernel broadcasts are content-cached and evicted
+# with unpersist — a catalog run no longer accretes one 256 MiB
+# broadcast per anchor invocation.
+# ---------------------------------------------------------------------------
+
+
+def test_kernel_broadcast_reused_and_bounded(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    similarity._KERNEL_BC.clear()
+    similarity._pairwise_cosine(emb, "vec_id", "embedding").collect()
+    assert len(similarity._KERNEL_BC) == 1
+    (bc1,) = similarity._KERNEL_BC.values()
+    similarity._pairwise_cosine(emb, "vec_id", "embedding").collect()
+    assert list(similarity._KERNEL_BC.values()) == [bc1]  # reused, not re-broadcast
+    # distinct corpora rotate through the bounded registry
+    for i in range(similarity._KERNEL_BC_MAX + 2):
+        other = spark.createDataFrame(
+            [(1, [1.0, float(i)]), (2, [0.5, 0.5])],
+            "vec_id long, embedding array<double>",
+        )
+        similarity._pairwise_cosine(other, "vec_id", "embedding").collect()
+    assert len(similarity._KERNEL_BC) <= similarity._KERNEL_BC_MAX
+    similarity._KERNEL_BC.clear()
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r7 (low): a truncated RIFF header is CORRUPT (ValueError), not
+# 'unsupported' — byte-truncated WAV crawl objects land in the right
+# quarantine bucket.
+# ---------------------------------------------------------------------------
+
+
+def test_decode_wav_truncated_riff_header_is_corrupt():
+    from udacity_capstone_data_engineering_spark.operators.audio import (
+        decode_wav,
+    )
+
+    with pytest.raises(ValueError, match="truncated header"):
+        decode_wav(b"RIFF\x00\x00")
+    with pytest.raises(ValueError, match="truncated header"):
+        decode_wav(b"RIFF")
+    # non-RIFF stays unsupported
+    with pytest.raises(NotImplementedError, match="unrecognized audio"):
+        decode_wav(b"ID3\x03" + bytes(40))
+    # RIFF but a different form type (AVI ) is unsupported, not corrupt
+    with pytest.raises(NotImplementedError, match="unrecognized RIFF form"):
+        decode_wav(b"RIFF" + (4).to_bytes(4, "little") + b"AVI " + bytes(8))
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r7 #3: audio/video near-dup tiers — the shared gradient-sign
+# fingerprint kernel, planted near-dup fixtures, and the pigeonhole
+# losslessness of the 15-bit / 3-band shape.
+# ---------------------------------------------------------------------------
+
+
+def test_gradient_sign_fingerprint_packs_expected_bits(spark):
+    from udacity_capstone_data_engineering_spark.operators.dedup import (
+        gradient_sign_fingerprint,
+    )
+
+    # id 1: values 3,5,2,2,9 -> gradients (3<5)=1,(5<2)=0,(2<2)=0,(2<9)=1
+    #   -> bits 1001 little-endian = 0b1001 = 9
+    # id 2: strictly increasing -> all nbits set
+    rows = [(1, j, v) for j, v in enumerate([3, 5, 2, 2, 9])]
+    rows += [(2, j, j) for j in range(5)]
+    df = spark.createDataFrame(rows, "id long, j int, v long")
+    got = {
+        r.id: r.fingerprint
+        for r in gradient_sign_fingerprint(df, "id", "j", "v", 4).collect()
+    }
+    assert got == {1: 0b1001, 2: 0b1111}
+
+
+def test_gradient_sign_fingerprint_rejects_wide_nbits(spark):
+    from udacity_capstone_data_engineering_spark.operators.dedup import (
+        gradient_sign_fingerprint,
+    )
+
+    df = spark.createDataFrame([(1, 0, 0)], "id long, j int, v long")
+    with pytest.raises(ValueError, match="BIGINT"):
+        gradient_sign_fingerprint(df, "id", "j", "v", 64)
+
+
+def test_audio_near_dup_planted_pair(spark):
+    """Two WAVs whose sample streams differ by a uniform gain shift
+    have IDENTICAL envelope fingerprints (gradient signs are
+    gain-invariant); a third with a reshaped envelope is no near-dup."""
+    import numpy as np
+
+    from udacity_capstone_data_engineering_spark.operators.audio import (
+        audio_frame_energy,
+        encode_wav,
+    )
+    from udacity_capstone_data_engineering_spark.operators.dedup import (
+        gradient_sign_fingerprint,
+        simhash_near_dup_pairs,
+    )
+
+    base = np.arange(1, 65, dtype=np.int16) * 7  # strictly rising envelope
+    clone = (base * 2).astype(np.int16)  # uniform gain x2
+    # falling envelope: reversed -> every gradient sign flips
+    far = base[::-1].copy()
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav(base))),
+            (2, bytearray(encode_wav(clone))),
+            (3, bytearray(encode_wav(far))),
+        ],
+        "doc_id long, payload binary",
+    )
+    fe = audio_frame_energy(df, "payload", "doc_id", frame=4)
+    fp = gradient_sign_fingerprint(fe, "doc_id", "frame_idx", "energy", 15)
+    vals = {r.doc_id: r.fingerprint for r in fp.collect()}
+    assert vals[1] == vals[2] == (1 << 15) - 1  # all-rising, gain-invariant
+    assert vals[3] == 0  # all-falling
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dup_pairs(
+            fp, "doc_id", sig_col="fingerprint", bits=15, bands=3
+        ).collect()
+    }
+    assert pairs == {(1, 2): 0}  # the clone pair, and ONLY it
+
+
+def test_video_near_dup_planted_pair(spark):
+    """Two videos with the same scene structure but a uniform
+    brightness shift share a scene fingerprint; a reversed-structure
+    video does not pair with them."""
+    import numpy as np
+
+    from udacity_capstone_data_engineering_spark.operators.dedup import (
+        gradient_sign_fingerprint,
+        simhash_near_dup_pairs,
+    )
+    from udacity_capstone_data_engineering_spark.operators.video import (
+        encode_ppmv,
+        video_row_luma,
+    )
+    from pyspark.sql import functions as F
+
+    h, w = 4, 8
+
+    def vid(rising: bool, shift: int):
+        frames = []
+        for f in range(4):
+            img = np.zeros((h, w, 3), dtype=np.uint8)
+            for r in range(h):
+                j = f * h + r
+                level = (10 + 12 * j) if rising else (10 + 12 * (15 - j))
+                img[r, :, :] = min(255, level + shift)
+            frames.append(img)
+        return encode_ppmv(frames)
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(vid(True, 0))),
+            (2, bytearray(vid(True, 40))),  # brightness-shifted twin
+            (3, bytearray(vid(False, 0))),  # reversed scene structure
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = video_row_luma(df, "payload", "doc_id")
+    seq = rows.select(
+        "doc_id",
+        (F.col("frame_idx") * h + F.col("row_idx")).cast("int").alias("j"),
+        "row_luma",
+    )
+    fp = gradient_sign_fingerprint(seq, "doc_id", "j", "row_luma", 15)
+    vals = {r.doc_id: r.fingerprint for r in fp.collect()}
+    assert vals[1] == vals[2] == (1 << 15) - 1
+    assert vals[3] == 0
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dup_pairs(
+            fp, "doc_id", sig_col="fingerprint", bits=15, bands=3
+        ).collect()
+    }
+    assert pairs == {(1, 2): 0}
+
+
+def test_fp_banding_pigeonhole_lossless_15_bits(spark):
+    """For the 15-bit / 3-band / max_hamming-2 shape the banded join
+    must find EXACTLY the all-pairs hamming<=2 set (pigeonhole: <=2
+    differing bits cannot touch all 3 bands)."""
+    from udacity_capstone_data_engineering_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    fps = [
+        0b000000000000000,
+        0b000000000000011,  # hamming 2 from fps[0]
+        0b000000000000111,  # hamming 3 from fps[0], 1 from fps[1]
+        0b111110000000000,
+        0b111110000000011,  # hamming 2 from fps[3]
+        0b010101010101010,
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(fps)], "doc_id long, fingerprint long"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_dup_pairs(
+            df, "doc_id", sig_col="fingerprint", bits=15, bands=3
+        ).collect()
+    }
+    want = {
+        (a, b)
+        for a in range(len(fps))
+        for b in range(a + 1, len(fps))
+        if bin(fps[a] ^ fps[b]).count("1") <= 2
+    }
+    assert got == want and (0, 1) in want and (1, 2) in want
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r7 #6: the >cap expression-plan fallback — the path a big
+# corpus would actually take — must produce results hash-equal to the
+# Arrow kernel path.
+# ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r7 #2: persisted standing semantic index — save/load must be
+# verdict-lossless vs the in-process incremental path.
+# ---------------------------------------------------------------------------
+
+
+def test_standing_index_equivalent_to_incremental(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from udacity_capstone_data_engineering_spark.operators.semdedup import (
+        build_semantic_index,
+        load_semantic_index,
+        semantic_dedup_against_index,
+        semantic_dedup_incremental,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    standing = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    inproc = {
+        (r.vec_id, r.cluster, r.is_dup)
+        for r in semantic_dedup_incremental(
+            standing, batch, "vec_id", "embedding", k=None
+        ).collect()
+    }
+    path = str(tmp_path / "sem_index")
+    meta = build_semantic_index(standing, "vec_id", "embedding", path, k=None)
+    served = {
+        (r.vec_id, r.cluster, r.is_dup)
+        for r in semantic_dedup_against_index(
+            spark, batch, "vec_id", "embedding", path
+        ).collect()
+    }
+    assert served == inproc
+    # artifact reloads intact
+    cents, reps, meta2 = load_semantic_index(spark, path)
+    assert meta2["k"] == meta["k"] and len(cents) == meta["k"]
+    assert meta2["dim"] == len(cents[0])
+    assert set(reps.columns) == {"cluster", "qv", "rep_vid"}
+
+
+def test_standing_index_flags_planted_duplicate(spark, tmp_path):
+    from udacity_capstone_data_engineering_spark.operators.semdedup import (
+        build_semantic_index,
+        semantic_dedup_against_index,
+    )
+
+    dim = 4
+    standing = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3), 1.0, 0.0]) for i in range(1, 41)],
+        "vec_id long, embedding array<double>",
+    )
+    # batch: id 100 clones standing id 5's vector; id 101 is far away
+    batch = spark.createDataFrame(
+        [
+            (100, [float(5 % 7), float(5 % 3), 1.0, 0.0]),
+            (101, [900.0, -900.0, 900.0, -900.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "sem_index")
+    build_semantic_index(standing, "vec_id", "embedding", path, k=4)
+    got = {
+        r.vec_id: r.is_dup
+        for r in semantic_dedup_against_index(
+            spark, batch, "vec_id", "embedding", path
+        ).collect()
+    }
+    assert got[100] is True  # exact clone of a standing vector
+    assert got[101] is False  # nothing within eps
+    assert dim == 4  # fixture shape documented
+
+
+def _sig(df):
+    rows = df.collect()
+    cols = df.columns
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    body = sorted(
+        tuple(
+            (round(r[i], 6) if isinstance(r[i], float) else r[i])
+            for i in order
+        )
+        for r in rows
+    )
+    return [cols[i] for i in order], body
+
+
+def test_cosine_topk_byte_cap_fallback_hash_equal(spark, monkeypatch):
+    """Force BROADCAST_SCORE_MAX_BYTES=0 through embedding_cosine_topk
+    at sf0.01 and assert exact equality with the kernel path (the two
+    regimes are contractually bit-identical; the committed manifest
+    digest pins the kernel side)."""
+    from udacity_capstone_data_engineering_spark.queries import queries
+
+    q = queries()["embedding_cosine_topk"]
+    sf_dir = "/root/testdata/sf0.01"
+    kernel = _sig(q(spark, sf_dir))
+    monkeypatch.setattr(similarity, "BROADCAST_SCORE_MAX_BYTES", 0)
+    fallback_df = q(spark, sf_dir)
+    plan = fallback_df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, (
+        "past the cap the anchor must run the pure-JVM expression plan"
+    )
+    fallback = _sig(fallback_df)
+    assert kernel[0] == fallback[0]
+    assert kernel[1] == fallback[1]

@@ -41,10 +41,19 @@ _DECODE_WAV_SRC = '''
 def decode_wav(payload):
     import numpy as np
 
-    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+    if payload[:4] != b"RIFF":
         raise NotImplementedError(
             "unrecognized audio container (MP3/OGG/FLAC/... need a codec "
             "library; RIFF/WAVE PCM16 decodes natively)"
+        )
+    # A recognized-but-truncated RIFF header is CORRUPT, not
+    # unsupported (ADVICE r7): the short slice must not fall through
+    # to the WAVE magic comparison below.
+    if len(payload) < 12:
+        raise ValueError("wav: truncated header")
+    if payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "unrecognized RIFF form (only RIFF/WAVE decodes natively)"
         )
     pos, n = 12, len(payload)
     fmt = None

@@ -242,6 +242,140 @@ def semantic_dedup_incremental(
     )
 
 
+def build_semantic_index(
+    standing: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    k: int | None = None,
+    iterations: int = ITERATIONS,
+    scale: int = SCALE,
+) -> dict:
+    """Fit the standing semantic index ONCE and PERSIST it (VERDICT r7
+    #2 — the semantic analogue of the lexical tier's bucketed
+    fingerprint index): ``semantic_dedup_incremental`` re-runs Lloyd on
+    the standing corpus on every call, which is the right *verdict* but
+    the wrong *regime* for ingest — the real incremental shape fits
+    once, saves centroids + exact-collapse representatives, and serves
+    every subsequent batch against the loaded artifact.
+
+    Artifact layout under ``path`` (all parquet — object-store
+    portable):
+      - ``meta``            one row: (k, iterations, scale, dim, n_standing)
+      - ``centroids``       (cid int, centroid array<long>) — the k x d
+                            integer matrix, tiny (LAION shape: 50k x 64
+                            = 25 MB), collected by the loader.
+      - ``representatives`` (cluster int, qv array<long>, rep_vid long),
+                            repartitioned BY CLUSTER at write so each
+                            batch's eps-check join reads only its
+                            clusters' files; a petabyte deployment
+                            writes this relation with
+                            ``sinks.write_bucketed`` instead so the
+                            standing side of the join never exchanges
+                            (the lexical index at queries_phase11
+                            demonstrates that plan).
+
+    Returns the meta dict. Serving is ``semantic_dedup_against_index``;
+    equivalence with the in-process path is pinned by
+    ``test_standing_index_equivalent_to_incremental``."""
+    spark = standing.sparkSession
+    if k is None:
+        k = auto_k(standing.count())
+    cents: list = []
+    assign_standing = kmeans_int(
+        standing, id_col, vec_col, k, iterations, scale, _cents_out=cents
+    ).select(F.col(id_col).alias("vid"), "cluster")
+    q_standing = _quantize(standing, id_col, vec_col, scale)
+    reps = (
+        assign_standing.join(q_standing, "vid")
+        .groupBy("cluster", "qv")
+        .agg(F.min("vid").alias("rep_vid"))
+    )
+    n_standing = standing.count()
+    dim = len(cents[0]) if cents else 0
+    meta = {
+        "k": k,
+        "iterations": iterations,
+        "scale": scale,
+        "dim": dim,
+        "n_standing": n_standing,
+    }
+    spark.createDataFrame(
+        [(k, iterations, scale, dim, n_standing)],
+        "k int, iterations int, scale long, dim int, n_standing long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    spark.createDataFrame(
+        [(i, list(c)) for i, c in enumerate(cents)],
+        "cid int, centroid array<long>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    reps.repartition("cluster").write.mode("overwrite").parquet(
+        f"{path}/representatives"
+    )
+    return meta
+
+
+def load_semantic_index(spark, path: str):
+    """``(centroid_matrix, representatives_df, meta)`` from a
+    ``build_semantic_index`` artifact. Centroids are collected (k x d
+    ints — the same broadcast-sized object the Lloyd loop ships);
+    representatives stay a lazy DataFrame so only the clusters a batch
+    actually touches are read."""
+    meta_row = spark.read.parquet(f"{path}/meta").head()
+    meta = meta_row.asDict()
+    cent_rows = (
+        spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
+    )
+    cents = [list(r["centroid"]) for r in cent_rows]
+    reps = spark.read.parquet(f"{path}/representatives")
+    return cents, reps, meta
+
+
+def semantic_dedup_against_index(
+    spark,
+    batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    eps: int = EPS,
+) -> DataFrame:
+    """Serve one ingest batch against a PERSISTED standing index: load
+    centroids + representatives from ``path`` (no standing-corpus scan,
+    no Lloyd), assign the batch map-only (``_assign_any`` — literal
+    plan at small k, broadcast Arrow kernel at LAION k), and eps-check
+    each batch vector against its assigned cluster's representatives.
+    Output and verdicts are identical to
+    ``semantic_dedup_incremental`` run with the same standing corpus
+    and parameters — the artifact round-trip is exact (integer
+    centroids and quantized vectors in parquet BIGINT arrays)."""
+    from udacity_capstone_data_engineering_spark.operators.kmeans import (
+        _assign_any,
+    )
+
+    cents, reps, meta = load_semantic_index(spark, path)
+    basg = _assign_any(_quantize(batch, id_col, vec_col, meta["scale"]), cents)
+    dist = F.aggregate(
+        F.zip_with(F.col("b.qv"), F.col("s.qv"), lambda p, r: (p - r) * (p - r)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    dups = (
+        basg.alias("b")
+        .join(
+            reps.select("cluster", "qv").alias("s"),
+            F.col("b.cluster") == F.col("s.cluster"),
+        )
+        .filter(dist <= F.lit(eps))
+        .select(F.col("b.vid").alias("vid"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return basg.select("vid", "cluster").join(dups, "vid", "left").select(
+        F.col("vid").alias(id_col),
+        "cluster",
+        F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
+    )
+
+
 def semantic_dedup_incremental_oracle_sql(
     standing_table: str,
     batch_table: str,

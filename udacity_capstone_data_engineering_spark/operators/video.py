@@ -171,6 +171,57 @@ def video_decode_stats(
     return df.select(id_col, binary_col).mapInPandas(run, schema=schema)
 
 
+def video_row_luma(
+    df: DataFrame, binary_col: str, id_col: str, batch_size: int = 128
+) -> DataFrame:
+    """Per-(frame, row) exact luma mass: ``(id, frame_idx, row_idx,
+    row_luma)`` where row_luma is the BIGINT sum of per-pixel
+    ``(r+g+b)//3`` over one pixel row of one frame — the coarse
+    spatio-temporal profile the scene-signature fingerprint packs
+    (VERDICT r7 #3). Rows crossing Arrow are (frames x height) per
+    payload, never pixels, matching the tier's design rule.
+    Corrupt/unsupported payloads contribute no rows (verdicts live in
+    ``video_decode_stats``)."""
+    schema = f"{id_col} long, frame_idx int, row_idx int, row_luma long"
+    decode_src = _DECODE_VIDEO_SRC
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        ns: dict = {}
+        exec(compile(decode_src, "<decode_video>", "exec"), ns)
+        decode = ns["decode_video"]
+
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start : start + batch_size]
+                ids, fidx, ridx, rl = [], [], [], []
+                for rid, payload in zip(chunk[id_col], chunk[binary_col]):
+                    try:
+                        frames = decode(bytes(payload))
+                    except (ValueError, NotImplementedError):
+                        continue
+                    for fi, f in enumerate(frames):
+                        rows = (f.astype(np.int64).sum(axis=2) // 3).sum(
+                            axis=1
+                        )
+                        for ri, v in enumerate(rows):
+                            ids.append(rid)
+                            fidx.append(fi)
+                            ridx.append(ri)
+                            rl.append(int(v))
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series(ids, dtype="int64"),
+                        "frame_idx": pd.Series(fidx, dtype="int32"),
+                        "row_idx": pd.Series(ridx, dtype="int32"),
+                        "row_luma": pd.Series(rl, dtype="int64"),
+                    }
+                )
+
+    return df.select(id_col, binary_col).mapInPandas(run, schema=schema)
+
+
 def video_frame_deltas(
     df: DataFrame, binary_col: str, id_col: str, batch_size: int = 128
 ) -> DataFrame:

@@ -59,6 +59,123 @@ def semantic_dedup_incremental_batch(spark, sf_dir):
     )
 
 
+@_register(
+    "semantic_dedup_standing_index",
+    semantic_dedup_incremental_oracle_sql(
+        f"(SELECT * FROM embeddings WHERE vec_id % {_SEM_INC_MOD} <> 0)",
+        f"(SELECT * FROM embeddings WHERE vec_id % {_SEM_INC_MOD} = 0)",
+    ),
+)
+def semantic_dedup_standing_index_q(spark, sf_dir):
+    """Incremental SemDeDup against a PERSISTED standing index
+    (VERDICT r7 #2): ``semantic_dedup_incremental`` proves the verdict
+    semantics but re-fits Lloyd on the standing corpus every call; the
+    real ingest regime fits ONCE, saves centroids + exact-collapse
+    representatives (``build_semantic_index``), and serves each batch
+    from the LOADED artifact — no standing-corpus scan, no Lloyd, the
+    batch assigned map-only and eps-checked against its cluster's
+    representatives read straight off parquet. This query exercises
+    the full save → load → serve cycle (the build runs here too so the
+    row is self-contained and deterministic; production builds amortize
+    it across every batch). Same oracle as the in-process row — the
+    artifact round-trip is verdict-lossless (integer centroids and
+    quantized vectors in BIGINT arrays) — so the persisted path sits
+    under the full value-hash gate."""
+    import os
+    import shutil
+    import tempfile
+
+    from udacity_capstone_data_engineering_spark.operators.semdedup import (
+        build_semantic_index,
+        semantic_dedup_against_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    standing = fan_out_small_scan(
+        emb.filter(F.col("vec_id") % _SEM_INC_MOD != 0)
+    )
+    batch = fan_out_small_scan(emb.filter(F.col("vec_id") % _SEM_INC_MOD == 0))
+    # Deterministic per-session workdir (the ADVICE-r6 pattern from the
+    # bucketed fingerprint index): repeat invocations reuse the path,
+    # concurrent sessions get their own, nothing leaks per run.
+    app_tag = spark.sparkContext.applicationId.replace("-", "_")
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_sem_index_{app_tag}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    build_semantic_index(standing, "vec_id", "embedding", base, k=None)
+    return semantic_dedup_against_index(
+        spark, batch, "vec_id", "embedding", base
+    )
+
+
+# ---------------------------------------------------------------------------
+# JL on STRUCTURED embeddings (VERDICT r7 #7): the manifold fixture
+# ---------------------------------------------------------------------------
+
+_JLM_OUT_DIMS = 16
+_JLM_CAND_K = 50
+_JLM_BOUND = 0.9  # measured 0.9844 (n=500) / 0.9767 (n=2000); see SCALING.md
+
+
+@_register(
+    "jl_manifold_capture",
+    f"""
+    SELECT 'lsh_jl_manifold' AS method,
+           (SELECT COUNT(*) * 5 FROM embeddings) AS n_pairs,
+           TRUE AS capture_ok
+    """,
+)
+def jl_manifold_capture(spark, sf_dir):
+    """End-to-end JL capture on a LOW-INTRINSIC-DIMENSION corpus
+    (VERDICT r7 #7): the r7 sweep honestly showed the isotropic test
+    embeddings are JL's worst case (capture 0.48 @ 16d — top-5 margins
+    are O(1/sqrt(dim)) near-ties no 4x projection preserves), so the
+    end-to-end hook was measured but not gated there. This row gates
+    it on the fixture the hook exists for: `manifold_embeddings`
+    places every vector on an exact 8-d md5-deterministic linear
+    manifold inside R^64 (the structure real embedding corpora have),
+    where distances are governed by 8 effective dimensions and a
+    64->16 projection preserves neighborhoods. capture_ok flips false
+    if |top5_exact64 ∩ LSH-top50-on-16d-projection| / |top5_exact64|
+    drops below 0.9 (measured: 0.9844 at n=500, 0.9767 at n=2000 —
+    vs 0.48 isotropic; 32d captures 0.9994+). n_pairs doubles as the
+    structural exact-top-5 check. The serving shape this validates:
+    project once (map-only literal sign matrix), build the candidate
+    index in d/4 dims at 1/4 the flops, exact-rerank the short
+    candidate list in full dims."""
+    from udacity_capstone_data_engineering_spark.operators.similarity import (
+        brute_force_topk,
+        jl_project,
+        lsh_topk,
+        manifold_embeddings,
+    )
+
+    ids = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    man = manifold_embeddings(ids, "vec_id").localCheckpoint(eager=True)
+    exact = (
+        brute_force_topk(man, "vec_id", "embedding", k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    proj = jl_project(man, "vec_id", "embedding", _JLM_OUT_DIMS)
+    cand = lsh_topk(
+        proj, "vec_id", "embedding", dim=_JLM_OUT_DIMS, k=_JLM_CAND_K
+    )
+    hits = exact.join(
+        cand.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+    ).agg(F.count(F.lit(1)).alias("hits"))
+    tot = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    return hits.crossJoin(tot).select(
+        F.lit("lsh_jl_manifold").alias("method"),
+        "n_pairs",
+        (F.col("hits") / F.col("n_pairs") >= F.lit(_JLM_BOUND)).alias(
+            "capture_ok"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Image perceptual dedup: dHash + Hamming-banded near-dup pairs (r6 #8)
 # ---------------------------------------------------------------------------

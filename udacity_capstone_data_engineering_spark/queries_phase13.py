@@ -402,3 +402,229 @@ def video_scene_cuts(spark, sf_dir):
             "is_cut"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio/video NEAR-DUP tiers (round 8, VERDICT r7 #3): perceptual
+# fingerprints through the SAME banding machinery as the image dHash —
+# gradient signs of an exact-integer envelope (audio) / scene profile
+# (video), packed into a BIGINT, paired by the pigeonhole-exact
+# Hamming-banded join (`simhash_near_dup_pairs`).
+# ---------------------------------------------------------------------------
+
+_AFP_WIN = 4  # samples per envelope window -> 16 windows over 64 samples
+_AFP_NBITS = _WAV_N // _AFP_WIN - 1  # 15 gradient bits
+_FP_BANDS = 3  # 3 bands x 5 bits; max_hamming=2 < bands -> EXACT pairs
+
+# Envelope fingerprint CTEs on top of the labeled-sample scaffolding:
+# per-window energy (sum s^2 — gain-monotone, so gradient SIGNS are
+# invariant to uniform gain), lead() gradient, little-endian bit pack.
+_AFP_SQL = f"""
+    win AS (SELECT doc_id, CAST(i // {_AFP_WIN} AS INT) AS w,
+                   CAST(sum(s*s) AS BIGINT) AS e
+            FROM smp GROUP BY doc_id, i // {_AFP_WIN}),
+    nx AS (SELECT doc_id, w, e,
+                  lead(e) OVER (PARTITION BY doc_id ORDER BY w) AS ne
+           FROM win),
+    afp AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN e < ne
+                                 THEN (CAST(1 AS BIGINT) << w)
+                                 ELSE 0 END) AS BIGINT) AS fingerprint
+            FROM nx WHERE w < {_AFP_NBITS} GROUP BY doc_id)"""
+
+
+def _audio_fingerprints(spark, sf_dir):
+    from udacity_capstone_data_engineering_spark.operators.audio import (
+        audio_frame_energy as frame_energy,
+    )
+    from udacity_capstone_data_engineering_spark.operators.dedup import (
+        gradient_sign_fingerprint,
+    )
+
+    fe = frame_energy(
+        _wav_payloads(spark, sf_dir), "payload", "doc_id", frame=_AFP_WIN
+    )
+    return gradient_sign_fingerprint(
+        fe, "doc_id", "frame_idx", "energy", _AFP_NBITS
+    )
+
+
+@_register(
+    "audio_envelope_fingerprint",
+    f"""
+    WITH {_WAV_LAB_SQL},
+    {_AFP_SQL}
+    SELECT doc_id, CAST({_AFP_NBITS} AS INT) AS nbits, fingerprint
+    FROM afp
+    """,
+)
+def audio_envelope_fingerprint(spark, sf_dir):
+    """Perceptual audio fingerprint (VERDICT r7 #3 — the audio leg of
+    the near-dup family; images got dHash in r7): the decoded PCM
+    stream cut into 4-sample windows, each window's exact BIGINT energy
+    computed worker-side (`audio_frame_energy` — the EXISTING frame
+    machinery, just at envelope resolution), then the 15 window-to-
+    window gradient signs packed little-endian into one BIGINT
+    (`dedup.gradient_sign_fingerprint`, the Haitsma-Kalker energy-
+    difference recipe in exact integers). Gradient signs survive
+    uniform gain changes, which is what makes this a NEAR-dup hash.
+    The oracle recomputes every sample, window sum, and bit from the
+    raw text bytes — full value-hash gate. Corrupt/unsupported payloads
+    contribute no rows (quarantine verdicts live in
+    ``audio_decode_stats``)."""
+    fp = _audio_fingerprints(spark, sf_dir)
+    return fp.select(
+        "doc_id", F.lit(_AFP_NBITS).cast("int").alias("nbits"), "fingerprint"
+    )
+
+
+@_register(
+    "audio_near_dup_pairs",
+    f"""
+    WITH {_WAV_LAB_SQL},
+    {_AFP_SQL}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS INT)
+               AS hamming
+    FROM afp a JOIN afp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= {_FP_BANDS - 1}
+    """,
+)
+def audio_near_dup_pairs(spark, sf_dir):
+    """Audio near-dup detection (VERDICT r7 #3): envelope fingerprints
+    paired by the SHARED Hamming-banded machinery
+    (`simhash_near_dup_pairs` — 3 disjoint 5-bit bands, candidates only
+    within shared buckets, never all-pairs). With max_hamming = 2 <
+    bands the pigeonhole makes banding LOSSLESS, so the banded operator
+    equals the oracle's all-pairs predicate exactly — the same
+    completeness argument the SimHash tier carries, now over audio.
+    Scale: one shuffle on (band, slice), per-bucket pair enumeration
+    JVM-side; bucket skew bounded by envelope diversity + AQE."""
+    from udacity_capstone_data_engineering_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    fp = _audio_fingerprints(spark, sf_dir)
+    return simhash_near_dup_pairs(
+        fp,
+        "doc_id",
+        sig_col="fingerprint",
+        bits=_AFP_NBITS,
+        bands=_FP_BANDS,
+    )
+
+
+_VFP_NBITS = _VID_FRAMES * _VID_H - 1  # 15 gradient bits over 16 row sums
+
+# Scene-profile fingerprint CTEs: per-(frame, row) luma mass, flattened
+# f-major to j = f*H + r, lead() gradient, little-endian bit pack.
+_VFP_SQL = f"""
+    rs AS (SELECT doc_id, CAST(f * {_VID_H} + r AS INT) AS j, rl FROM (
+             SELECT doc_id, f, p // {_VID_W} AS r,
+                    CAST(sum(luma) AS BIGINT) AS rl
+             FROM lum GROUP BY doc_id, f, p // {_VID_W})),
+    nx AS (SELECT doc_id, j, rl,
+                  lead(rl) OVER (PARTITION BY doc_id ORDER BY j) AS nrl
+           FROM rs),
+    vfp AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN rl < nrl
+                                 THEN (CAST(1 AS BIGINT) << j)
+                                 ELSE 0 END) AS BIGINT) AS fingerprint
+            FROM nx WHERE j < {_VFP_NBITS} GROUP BY doc_id)"""
+
+
+def _video_fingerprints(spark, sf_dir):
+    from udacity_capstone_data_engineering_spark.operators.dedup import (
+        gradient_sign_fingerprint,
+    )
+    from udacity_capstone_data_engineering_spark.operators.video import (
+        video_row_luma as vrl,
+    )
+
+    rows = vrl(_video_payloads(spark, sf_dir), "payload", "doc_id")
+    seq = rows.select(
+        "doc_id",
+        (F.col("frame_idx") * _VID_H + F.col("row_idx")).cast("int").alias("j"),
+        "row_luma",
+    )
+    return gradient_sign_fingerprint(seq, "doc_id", "j", "row_luma", _VFP_NBITS)
+
+
+@_register(
+    "video_row_luma",
+    f"""
+    WITH {_VID_LAB_SQL}
+    SELECT doc_id, CAST(f AS INT) AS frame_idx,
+           CAST(p // {_VID_W} AS INT) AS row_idx,
+           CAST(sum(luma) AS BIGINT) AS row_luma
+    FROM lum GROUP BY doc_id, f, p // {_VID_W}
+    """,
+)
+def video_row_luma_q(spark, sf_dir):
+    """Per-(frame, row) exact luma mass over decoded frames — the
+    coarse spatio-temporal profile the scene fingerprint packs, exposed
+    as its own gated row (rows crossing Arrow are frames x height per
+    payload, never pixels). Oracle recomputes every pixel byte."""
+    from udacity_capstone_data_engineering_spark.operators.video import (
+        video_row_luma as vrl,
+    )
+
+    return vrl(_video_payloads(spark, sf_dir), "payload", "doc_id")
+
+
+@_register(
+    "video_scene_fingerprint",
+    f"""
+    WITH {_VID_LAB_SQL},
+    {_VFP_SQL}
+    SELECT doc_id, CAST({_VFP_NBITS} AS INT) AS nbits, fingerprint
+    FROM vfp
+    """,
+)
+def video_scene_fingerprint(spark, sf_dir):
+    """Perceptual video fingerprint (VERDICT r7 #3 — the video leg):
+    the 16 per-(frame, row) luma masses flattened frame-major into one
+    sequence and their 15 gradient signs packed into a BIGINT via the
+    SAME `gradient_sign_fingerprint` kernel as the audio tier — a
+    scene signature that tracks how brightness mass moves across rows
+    and frames, invariant to uniform brightness shifts (the dHash
+    argument, extended through time). Full value-hash gate; quarantined
+    payloads contribute no rows."""
+    fp = _video_fingerprints(spark, sf_dir)
+    return fp.select(
+        "doc_id", F.lit(_VFP_NBITS).cast("int").alias("nbits"), "fingerprint"
+    )
+
+
+@_register(
+    "video_near_dup_pairs",
+    f"""
+    WITH {_VID_LAB_SQL},
+    {_VFP_SQL}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS INT)
+               AS hamming
+    FROM vfp a JOIN vfp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= {_FP_BANDS - 1}
+    """,
+)
+def video_near_dup_pairs(spark, sf_dir):
+    """Video near-dup detection (VERDICT r7 #3): scene fingerprints
+    through the shared Hamming-banded pair machinery — 3 x 5-bit
+    bands, max_hamming 2 < bands, so banding is pigeonhole-LOSSLESS
+    and the operator equals the oracle's all-pairs predicate exactly.
+    Completes the multimodal dedup story: text (MinHash/SimHash),
+    image (dHash), audio (envelope), video (scene signature), all on
+    one banding substrate."""
+    from udacity_capstone_data_engineering_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    fp = _video_fingerprints(spark, sf_dir)
+    return simhash_near_dup_pairs(
+        fp,
+        "doc_id",
+        sig_col="fingerprint",
+        bits=_VFP_NBITS,
+        bands=_FP_BANDS,
+    )
