@@ -14,7 +14,7 @@ Ground truths come from `sf10_probe.exact_topk_fast`'s npy cache
 (computed once, reused by every cell).
 
 Usage: python scripts/sf10_probe2.py [--timeout SECS] [cell ...]
-  cells default to: lsh ivf pq ivfpq semdedup docs
+  cells default to: lsh ivf pq ivfpq lsh_jl ivf_jl semdedup docs
 """
 
 from __future__ import annotations
@@ -34,28 +34,52 @@ from udacity_capstone_data_engineering_spark import get_spark
 
 kind, tag = {kind!r}, {tag!r}
 sf_dir = SF1 if tag == "sf1" else SF10
-spark = get_spark(shuffle_partitions=32)
+# VERDICT r7 #5 watchdog: the round-7 wedge was ONE task parked >30 min
+# at ~5% CPU inside the LSH scan kernel, only in a long-lived multi-
+# kernel process. Beyond the per-cell subprocess timeout (which converts
+# a wedge into a red cell instead of a lost probe), speculation re-
+# launches any task whose wall exceeds 4x the stage median once 75% of
+# the stage is done — exactly the single-straggler shape observed —
+# and the task reaper force-kills tasks that ignore the resulting kill.
+spark = get_spark(shuffle_partitions=32, extra_conf={{
+    "spark.speculation": "true",
+    "spark.speculation.multiplier": "4",
+    "spark.speculation.quantile": "0.75",
+    "spark.task.reaper.enabled": "true",
+    "spark.task.reaper.killTimeout": "120s",
+}})
 spark.sparkContext.setLogLevel("ERROR")
 
-if kind in ("lsh", "ivf", "pq", "ivfpq"):
+if kind in ("lsh", "ivf", "pq", "ivfpq", "lsh_jl", "ivf_jl"):
+    from scripts.sf10_probe import classify_regimes
     from udacity_capstone_data_engineering_spark.operators.ivf import ivf_topk
     from udacity_capstone_data_engineering_spark.operators.pq import ivfpq_topk, pq_topk
     from udacity_capstone_data_engineering_spark.operators.similarity import lsh_topk
 
+    # JL variants (VERDICT r7 #1: the table covers +-JL): candidate
+    # generation on the 16-d deterministic sign projection, exact
+    # rerank in R^64 — the gated lsh_jl/ivf_jl catalog shape.
     fns = dict(
         lsh=lambda e: lsh_topk(e, "vec_id", "embedding", dim=64, k=5),
         ivf=lambda e: ivf_topk(e, "vec_id", "embedding", k=5),
         pq=lambda e: pq_topk(e, "vec_id", "embedding", dim=64, k=5),
         ivfpq=lambda e: ivfpq_topk(e, "vec_id", "embedding", dim=64, k=5),
+        lsh_jl=lambda e: lsh_topk(
+            e, "vec_id", "embedding", dim=64, k=5, project_dims=16),
+        ivf_jl=lambda e: ivf_topk(
+            e, "vec_id", "embedding", k=5, project_dims=16),
     )
     emb = spark.read.parquet(sf_dir + "/embeddings.parquet")
+    n = emb.count()
+    regime = classify_regimes(n).get(kind.split("_")[0], "?")
     t0 = time.monotonic()
     got = {{(r.query_id, r.neighbor_id) for r in fns[kind](emb).collect()}}
     wall = round(time.monotonic() - t0, 1)
     truth = exact_topk_fast(sf_dir)
     rec = round(len(truth & got) / len(truth), 4)
     print("CELL " + json.dumps(
-        {{"cell": kind, "sf": tag, "sec": wall, "recall@5": rec}}), flush=True)
+        {{"cell": kind, "sf": tag, "sec": wall, "recall@5": rec,
+          "n": n, "regime": regime}}), flush=True)
 elif kind == "semdedup":
     from udacity_capstone_data_engineering_spark.operators.semdedup import auto_k, semantic_dedup
 
@@ -90,7 +114,9 @@ def main() -> None:
         i = argv.index("--timeout")
         timeout = int(argv[i + 1])
         del argv[i : i + 2]
-    cells = argv or ["lsh", "ivf", "pq", "ivfpq", "semdedup", "docs"]
+    cells = argv or [
+        "lsh", "ivf", "pq", "ivfpq", "lsh_jl", "ivf_jl", "semdedup", "docs",
+    ]
     results: list[dict] = []
     for kind in cells:
         for tag in ("sf1", "sf10"):  # interleaved per kernel

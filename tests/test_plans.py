@@ -86,6 +86,10 @@ def test_no_python_udfs_in_relational_tier(spark, sf_dir):
         "embedding_cosine_topk",
         "embedding_dup_pairs",
         "rerank_two_stage",     # exact stage-1 = brute_force -> kernel
+        # r8: JL capture gate composes the brute-force exact baseline
+        # (Arrow scoring kernel) with lsh_topk on the projection — both
+        # already-declared boundaries; ids only cross Python.
+        "jl_manifold_capture",
     }
     for name, fn in QUERIES.items():
         if name in declared_arrow:
@@ -468,6 +472,10 @@ def test_no_cartesian_anywhere_and_bnlj_only_where_documented(spark, sf_dir):
         # r6 breadth tier: the skew profiler's 1-row corpus-totals
         # broadcast (total rows + distinct keys for the skew ratio)
         "join_key_skew_profile",
+        # r8: the JL capture gate's exact baseline is the documented
+        # quadratic brute-force anchor, and its hits/total capture
+        # ratio is a 1-row x 1-row aggregate cross join
+        "jl_manifold_capture",
     }
     offenders_cart, offenders_bnlj = [], []
     for name, (fn, _) in sorted(_REGISTRY.items()):

@@ -414,3 +414,74 @@ def test_cosine_topk_byte_cap_fallback_hash_equal(spark, monkeypatch):
     fallback = _sig(fallback_df)
     assert kernel[0] == fallback[0]
     assert kernel[1] == fallback[1]
+
+
+# ---------------------------------------------------------------------------
+# Round 8: substring-level exact dedup (duplicate_token_spans)
+# ---------------------------------------------------------------------------
+
+
+def _spans(spark, rows, w=4):
+    from udacity_capstone_data_engineering_spark.operators.dedup import (
+        duplicate_token_spans,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_dup_grams)
+        for r in duplicate_token_spans(df, "text", "doc_id", w=w).collect()
+    }
+
+
+def test_duplicate_spans_planted_pair(spark):
+    # docs 1 and 2 share the 5-token passage "p q r s t" (positions
+    # 2-6 in doc 1, 0-4 in doc 2); with w=4 that is 2 duplicated
+    # windows per doc merging into ONE maximal span each.
+    got = _spans(
+        spark,
+        [
+            (1, "a b p q r s t u v w"),
+            (2, "p q r s t x y z zz"),
+            (3, "k l m n o kk ll mm nn"),
+        ],
+    )
+    assert got == {
+        (1, 2, 6, 5, 2),
+        (2, 0, 4, 5, 2),
+    }
+
+
+def test_duplicate_spans_within_doc_repetition_not_flagged(spark):
+    # "p q r s" appears TWICE in doc 1 and nowhere else: repetition,
+    # not cross-doc duplication -> no spans at all.
+    got = _spans(
+        spark,
+        [
+            (1, "p q r s x y p q r s"),
+            (2, "a b c d e f g h"),
+        ],
+    )
+    assert got == set()
+
+
+def test_duplicate_spans_two_islands_and_merge_rule(spark):
+    # doc 1 shares "p q r s" with doc 2 AND "w x y z" with doc 3, with
+    # a >w token gap between them -> two separate spans for doc 1.
+    got = _spans(
+        spark,
+        [
+            (1, "p q r s g1 g2 g3 g4 g5 w x y z"),
+            (2, "p q r s aa bb cc dd"),
+            (3, "ee ff gg hh w x y z"),
+        ],
+    )
+    assert (1, 0, 3, 4, 1) in got
+    assert (1, 9, 12, 4, 1) in got
+    assert len([g for g in got if g[0] == 1]) == 2
+
+
+def test_duplicate_spans_short_docs_excluded(spark):
+    # docs shorter than w tokens produce no windows (and must not trip
+    # Spark's descending-sequence default).
+    got = _spans(spark, [(1, "a b"), (2, "a b"), (3, "c")])
+    assert got == set()

@@ -487,3 +487,80 @@ def simhash_near_dup_pairs(
         ).alias("p")
     )
     return pairs.select("p.id_a", "p.id_b", "p.hamming").distinct()
+
+
+def duplicate_token_spans(
+    df: DataFrame, text_col: str, id_col: str, w: int = 8
+) -> DataFrame:
+    """Substring-level EXACT dedup: maximal per-document spans of
+    consecutive tokens whose every ``w``-token window also appears in
+    at least one OTHER document — the span-granular regime of
+    "Deduplicating Training Data Makes Language Models Better"
+    (Lee et al., ACL 2022), which doc-level exact/near dedup cannot
+    express (a unique page quoting a duplicated paragraph keeps the
+    page but should lose the paragraph).
+
+    Returns one row per (document, maximal duplicated span):
+    ``(id_col, span_start, span_end, span_tokens, n_dup_grams)`` with
+    token positions 0-based inclusive. Two duplicated windows merge
+    into one span when they overlap or touch (next start <= prev start
+    + w); since every window spans exactly ``w`` tokens, a single
+    ``lag`` test is the full gaps-and-islands condition (span ends are
+    monotone in starts — no running max needed).
+
+    Cross-doc only by design: a window repeated solely WITHIN one
+    document is repetition (``doc_repetition_flags``), not duplication,
+    and flagging it here would double-count that tier.
+
+    Scale shape (100 TB): tokenize + window-hash are map-only builtin
+    higher-order functions (no Python); the duplicated-window set is
+    one map-side-combined groupBy on the 60-bit portable gram hash;
+    the join back is keyed on the same hash (the dup set is DISTINCT
+    duplicated grams — small next to the corpus and AQE-broadcastable;
+    each position row matches exactly one dup row, so a boilerplate
+    gram repeated 10^6 times fans out only to its true positions,
+    which ARE the output); the island merge is one shuffle on doc id.
+    No all-pairs stage anywhere — cost is linear in corpus tokens plus
+    output spans.
+    """
+    from pyspark.sql import Window
+
+    gram_hash_sql = (
+        f"transform(sequence(0, size(__tk) - {w}), i -> "
+        f"cast(conv(substr(md5(concat_ws(' ', slice(__tk, i + 1, {w}))), "
+        f"1, 15), 16, 10) as bigint))"
+    )
+    grams = (
+        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__tk"))
+        # sequence(0, size-w) COUNTS DOWN when size < w (Spark defaults
+        # to step -1 for start > stop) — filter short docs out first.
+        .filter(F.size("__tk") >= w)
+        .select(
+            id_col,
+            F.posexplode(F.expr(gram_hash_sql)).alias("pos", "gh"),
+        )
+        .select(id_col, F.col("pos").cast("bigint").alias("pos"), "gh")
+    )
+    dup_grams = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("gh")
+    )
+    dup_pos = grams.join(dup_grams, "gh").select(id_col, "pos")
+    wdoc = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(wdoc) > w, 1).otherwise(0)
+    islands = dup_pos.withColumn("__brk", brk).withColumn(
+        "island",
+        F.sum("__brk").over(wdoc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (w - 1)).alias("span_end"),
+            (F.max("pos") - F.min("pos") + w).alias("span_tokens"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .drop("island")
+    )
