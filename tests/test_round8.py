@@ -485,3 +485,34 @@ def test_duplicate_spans_short_docs_excluded(spark):
     # Spark's descending-sequence default).
     got = _spans(spark, [(1, "a b"), (2, "a b"), (3, "c")])
     assert got == set()
+
+
+# ---------------------------------------------------------------------------
+# Round 8: pq_topk queries= workload hook (parity with LSH/IVF/IVF-PQ)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("cap", [None, 1000])
+def test_pq_topk_query_workload_equals_full_run_subset(spark, sf_dir, cap):
+    # The per-query ADC pipeline is independent of other queries and
+    # the fit is seeded, so a workload run must reproduce exactly the
+    # full self-run's rows for those queries — in BOTH the broadcast
+    # regime (cap=None) and the sharded cogroup grid (cap=1000 forces
+    # sharding).
+    from udacity_capstone_data_engineering_spark.operators.pq import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sub = emb.filter(F.col("vec_id") % 5 == 0)
+    kw = {} if cap is None else {"max_broadcast_bytes": cap}
+    full = {
+        (r.query_id, r.neighbor_id, round(r.cosine, 9), r.rnk)
+        for r in pq_topk(emb, "vec_id", "embedding", dim=64, k=5, **kw).collect()
+        if r.query_id % 5 == 0
+    }
+    got = {
+        (r.query_id, r.neighbor_id, round(r.cosine, 9), r.rnk)
+        for r in pq_topk(
+            emb, "vec_id", "embedding", dim=64, k=5, queries=sub, **kw
+        ).collect()
+    }
+    assert full == got and len(got) > 0

@@ -674,8 +674,18 @@ def pq_topk(
     seed: int = 42,
     fit_sample: int = 100_000,
     max_broadcast_bytes: int | None = None,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via PQ + ADC with exact reranking.
+
+    ``queries``: optional serving workload (same columns, ids ⊆
+    corpus) — r8, closing the one asymmetry with the LSH/IVF/IVF-PQ
+    kernels, which all had the hook; only workload vectors scan, the
+    codebooks/codes stay corpus-wide. This is the shape that matters
+    at scale: per-query ADC work is linear in the CORPUS, so the
+    self-workload (queries = corpus) is quadratic by construction —
+    fine as a correctness anchor at probe scale, never the serving
+    path.
 
     Stage 1 scans the COMPRESSED index (n × m BYTES) per query and
     keeps the top-``rerank`` ADC candidates; stage 2 scores those
@@ -728,6 +738,13 @@ def pq_topk(
 
     unit = _unit_vectors(emb, id_col, vec_col)
     v = unit.filter(F.col("uv").isNotNull())
+    if queries is None:
+        qv, n_q = v, n
+    else:
+        qv = _unit_vectors(queries, id_col, vec_col).filter(
+            F.col("uv").isNotNull()
+        )
+        n_q = queries.count()
     encode = _encode_udf(books)
 
     index_bytes = n * (8 + m)
@@ -741,9 +758,9 @@ def pq_topk(
             .alias("__shard"),
             encode(F.col("uv")).alias("codes"),
         )
-        queries = v.select(F.col(id_col).alias("query_id"), "uv")
+        qsrc = qv.select(F.col(id_col).alias("query_id"), "uv")
         spark = emb.sparkSession
-        probes = queries.select("query_id").crossJoin(
+        probes = qsrc.select("query_id").crossJoin(
             F.broadcast(
                 spark.range(n_shards).select(
                     F.col("id").cast("int").alias("__shard")
@@ -751,7 +768,7 @@ def pq_topk(
             )
         )
         pairs = _sharded_adc_candidates(
-            queries, probes, coded, books, rerank, n_queries=n
+            qsrc, probes, coded, books, rerank, n_queries=n_q
         ).filter(F.col("query_id") != F.col("neighbor_id"))
     else:
         encoded = (
@@ -774,7 +791,7 @@ def pq_topk(
         )
 
         pairs = (
-            fan_out_small_scan(v).select(
+            fan_out_small_scan(qv).select(
                 F.col(id_col).alias("query_id"), cand(F.col("uv")).alias("cs")
             )
             .select("query_id", F.explode("cs").alias("neighbor_id"))
