@@ -569,8 +569,18 @@ def ivfpq_topk(
             qframe, probes, coded, books, rerank, n_queries=n_q
         ).filter(F.col("query_id") != F.col("neighbor_id"))
     else:
+        # fan out before the CPU-heavy encode/assign UDFs: a one-file
+        # corpus otherwise runs the whole encode as ONE task (r8,
+        # observed 13 serial CPU-minutes at 200k vectors in the sf10
+        # probe); the orderBy keeps the collected layout deterministic
+        # regardless of the fan-out shuffle. No-op at real scale.
+        from udacity_capstone_data_engineering_spark.sources.catalog import (
+            fan_out_small_scan,
+        )
+
         encoded = (
-            v.select(
+            fan_out_small_scan(v)
+            .select(
                 F.col(id_col),
                 assign(F.col("uv")).alias("cell"),
                 encode(F.col("uv")).alias("codes"),
@@ -771,8 +781,15 @@ def pq_topk(
             qsrc, probes, coded, books, rerank, n_queries=n_q
         ).filter(F.col("query_id") != F.col("neighbor_id"))
     else:
+        # fan out before the CPU-heavy encode UDF — same single-task
+        # serialization fix as the IVF-PQ branch above (r8).
+        from udacity_capstone_data_engineering_spark.sources.catalog import (
+            fan_out_small_scan,
+        )
+
         encoded = (
-            v.select(F.col(id_col), encode(F.col("uv")).alias("codes"))
+            fan_out_small_scan(v)
+            .select(F.col(id_col), encode(F.col("uv")).alias("codes"))
             .orderBy(id_col)
             .toPandas()
         )
