@@ -516,3 +516,36 @@ def test_pq_topk_query_workload_equals_full_run_subset(spark, sf_dir, cap):
         ).collect()
     }
     assert full == got and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# Round 8: the single-row-group scan-skew mechanism, pinned
+# ---------------------------------------------------------------------------
+
+
+def test_fan_out_rebalances_single_row_group_file(spark, tmp_path):
+    # A one-file parquet with ONE row group splits into ~size/4MB
+    # openCost bins, but only the bin containing the row-group offset
+    # carries rows: N-1 empty tasks + 1 task with everything — the
+    # round-7 "one task of 13" wedge shape, which serialized any
+    # CPU-heavy stage fed directly by such a scan (the pq encode,
+    # fixed r8). This pins BOTH halves: the pathology exists on the
+    # raw scan, and fan_out_small_scan repairs it to a balanced
+    # defaultParallelism-wide distribution.
+    from udacity_capstone_data_engineering_spark.sources.catalog import (
+        fan_out_small_scan,
+    )
+
+    path = str(tmp_path / "one_rg")
+    spark.range(200_000).selectExpr(
+        "id", "repeat('x', 64) AS pad"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    raw = back.rdd.glom().map(len).collect()
+    if len(raw) > 1:
+        # multiple splits of one row group -> exactly one non-empty
+        assert sum(1 for n in raw if n) == 1, raw
+    fo = fan_out_small_scan(back).rdd.glom().map(len).collect()
+    assert len(fo) >= spark.sparkContext.defaultParallelism
+    assert sum(fo) == 200_000
+    assert max(fo) - min(fo) <= 1, "round-robin must balance exactly"
