@@ -174,12 +174,19 @@ def main() -> None:
                 except ProcessLookupError:
                     pass
                 out, err = proc.communicate()
+            cell_seen = False
             for line in out.splitlines():
                 if line.startswith("CELL "):
                     rec = json.loads(line[5:])
                     results.append(rec)
+                    cell_seen = True
                     print(json.dumps(rec), flush=True)
-            if timed_out:
+            # ADVICE r8: a cell that prints its CELL record and then
+            # wedges during JVM shutdown must not ALSO get a timeout
+            # error row — the duplicate (cell, sf) key corrupts the
+            # exponent pairing. The error row is only for cells that
+            # never reported.
+            if timed_out and not cell_seen:
                 results.append(
                     {"cell": kind, "sf": tag, "error": f"timeout {timeout}s"}
                 )

@@ -549,3 +549,30 @@ def test_fan_out_rebalances_single_row_group_file(spark, tmp_path):
     assert len(fo) >= spark.sparkContext.defaultParallelism
     assert sum(fo) == 200_000
     assert max(fo) - min(fo) <= 1, "round-robin must balance exactly"
+    # ADVICE r8: on a host whose core count <= the openCost split count
+    # the old partition-count gate no-opt'ed (splits >= target) and the
+    # one-task skew survived. Pin the environment instead of relying on
+    # nproc > splits: FORCE a split count above the target (tiny
+    # maxPartitionBytes — runtime-settable read conf) and a target
+    # below it; the single-file rule must still rebalance.
+    low = 2
+    prior = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", 64 * 1024)
+        split_back = spark.read.parquet(path)
+        raw_forced = split_back.rdd.glom().map(len).collect()
+        assert len(raw_forced) > low, "fixture must out-split the target"
+        assert sum(1 for n in raw_forced if n) == 1, raw_forced
+        fo_low = (
+            fan_out_small_scan(split_back, min_partitions=low)
+            .rdd.glom()
+            .map(len)
+            .collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prior)
+    assert len(fo_low) == low
+    assert sum(fo_low) == 200_000
+    assert max(fo_low) - min(fo_low) <= 1, (
+        "single-file scans must rebalance even when splits >= target"
+    )

@@ -492,13 +492,19 @@ def simhash_near_dup_pairs(
 def duplicate_token_spans(
     df: DataFrame, text_col: str, id_col: str, w: int = 8
 ) -> DataFrame:
-    """Substring-level EXACT dedup: maximal per-document spans of
-    consecutive tokens whose every ``w``-token window also appears in
-    at least one OTHER document — the span-granular regime of
-    "Deduplicating Training Data Makes Language Models Better"
-    (Lee et al., ACL 2022), which doc-level exact/near dedup cannot
-    express (a unique page quoting a duplicated paragraph keeps the
-    page but should lose the paragraph).
+    """Substring-level EXACT dedup: maximal per-document spans in
+    which EVERY TOKEN is covered by at least one ``w``-token window
+    that also appears verbatim in some OTHER document — the
+    span-granular regime of "Deduplicating Training Data Makes
+    Language Models Better" (Lee et al., ACL 2022), which doc-level
+    exact/near dedup cannot express (a unique page quoting a
+    duplicated paragraph keeps the page but should lose the
+    paragraph). Note the guarantee is TOKEN coverage, not
+    window-universality (ADVICE r8): merging two duplicated windows
+    that merely touch (next start == prev start + w) produces a span
+    whose intermediate windows straddling the seam need not
+    themselves be duplicated — exactly the Lee-et-al merge semantics
+    the oracle replays.
 
     Returns one row per (document, maximal duplicated span):
     ``(id_col, span_start, span_end, span_tokens, n_dup_grams)`` with

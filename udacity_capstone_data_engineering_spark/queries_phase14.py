@@ -92,22 +92,25 @@ def duplicate_token_spans_q(spark, sf_dir):
                 FROM spans GROUP BY doc_id)
     SELECT d.doc_id,
            CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
-           p.n_spans, p.dup_tokens,
-           ROUND(CAST(p.dup_tokens AS DOUBLE)
-                 / len(string_split(d.text, ' ')), 6) AS dup_ratio
+           p.n_spans, p.dup_tokens
     FROM documents d JOIN per_doc p USING (doc_id)
-    WHERE CAST(p.dup_tokens AS DOUBLE)
-          / len(string_split(d.text, ' ')) >= 0.5
+    WHERE 2 * p.dup_tokens >= len(string_split(d.text, ' '))
     """,
 )
 def dup_span_doc_ratio(spark, sf_dir):
     """The actionable filter signal on top of the span detector: for
     every document where duplicated spans cover >= 50% of its tokens,
-    the span count, duplicated-token total, and coverage ratio — the
-    "mostly-boilerplate" drop list a quality gate consumes. One extra
-    groupBy + a broadcastable join against the (small) flagged set;
-    the token denominator is recomputed from the source text so the
-    ratio is exact, not estimated."""
+    the span count, duplicated-token total, and exact token counts —
+    the "mostly-boilerplate" drop list a quality gate consumes
+    (coverage ratio = dup_tokens / n_tokens, derivable exactly). The
+    result set carries INTEGERS ONLY and the >= 50% cut is the integer
+    inequality 2*dup_tokens >= n_tokens (ADVICE r8: a rounded-double
+    column at the result edge risked Spark's BigDecimal half-up vs
+    DuckDB's binary-double half-away diverging on an exact 1e-6
+    boundary — a departure from the house exact-integer-edges rule).
+    One extra groupBy + a broadcastable join against the (small)
+    flagged set; the token denominator is recomputed from the source
+    text so the cut is exact, not estimated."""
     from udacity_capstone_data_engineering_spark.operators.dedup import (
         duplicate_token_spans,
     )
@@ -119,16 +122,9 @@ def dup_span_doc_ratio(spark, sf_dir):
         F.sum("span_tokens").alias("dup_tokens"),
     )
     n_tok = F.size(F.split("text", " ")).cast("bigint")
-    ratio = F.col("dup_tokens").cast("double") / F.col("n_tokens")
     return (
         docs.select("doc_id", n_tok.alias("n_tokens"))
         .join(per_doc, "doc_id")
-        .filter(ratio >= 0.5)
-        .select(
-            "doc_id",
-            "n_tokens",
-            "n_spans",
-            "dup_tokens",
-            F.round(ratio, 6).alias("dup_ratio"),
-        )
+        .filter(2 * F.col("dup_tokens") >= F.col("n_tokens"))
+        .select("doc_id", "n_tokens", "n_spans", "dup_tokens")
     )

@@ -103,14 +103,26 @@ def fan_out_small_scan(df: DataFrame, min_partitions: int | None = None) -> Data
     A small input (one parquet file / one row group) scans as ONE task,
     which serializes any expensive map stage behind it (shingling, k-gram
     hashing, MinHash) no matter how many cores the cluster has — measured
-    6x on winnowing at sf0.1. This repartitions ONLY when the scan has
-    fewer partitions than the session's default parallelism; at real
-    scale the scan already has >= cores partitions and this is a no-op,
-    so the big-data path never pays the round-robin shuffle.
+    6x on winnowing at sf0.1. Repartitions when the scan has fewer
+    partitions than the session's default parallelism, AND (ADVICE r8)
+    when the plan reads a SINGLE file regardless of split count: one
+    file with one row group splits into ~size/openCost bins of which
+    only the bin holding the row-group offset carries rows, so a host
+    with cores <= split count saw ``getNumPartitions() >= target`` and
+    no-opt'ed straight into the N-1-empty+1-full task skew this helper
+    exists to repair. Partition COUNT is cheap driver metadata; per-
+    partition row counts are not, and a single file is the only layout
+    whose count lies this way — multi-file scans distribute rows at
+    file granularity. At real scale the scan reads many files with
+    >= cores partitions and this is a no-op, so the big-data path
+    never pays the round-robin shuffle (a lone file is never the
+    100 TB shape).
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    n_parts = df.rdd.getNumPartitions()
+    single_file_splits = n_parts > 1 and len(df.inputFiles()) == 1
+    if n_parts < target or single_file_splits:
         return df.repartition(target)
     return df
 
