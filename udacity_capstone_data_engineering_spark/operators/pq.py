@@ -476,13 +476,11 @@ def ivfpq_topk(
         frac = probe_fraction_for_recall(target_recall)
         nprobe = max(4, math.ceil(n_centroids * frac))
     if rerank is None:
-        # k-aware floor (VERDICT r4 #1): the n/20 cut was sized for
-        # k=5; serving a deeper top-k (rerank_two_stage's k1=20)
-        # needs ~20 exact-rerank candidates per returned neighbor
-        # (measured at 2k vectors: recall@20 0.82 at rerank=100 vs
-        # 0.945 at 20*k) or recall decays exactly like every other
-        # under-coupled knob.
-        rerank = max(50, -(-n // 20), 20 * k)
+        # Budget from the measured curve (VERDICT r8 #5) at the SAME
+        # target the nprobe sizing uses; k-aware floor from r4 (a
+        # deeper top-k needs ~20 exact-rerank candidates per returned
+        # neighbor or recall decays like every under-coupled knob).
+        rerank = rerank_budget(n, k, target_recall)
 
     centers = _fit_centroids(emb, vec_col, n_centroids, seed, fit_sample, n=n)
     books = fit_pq_codebooks(
@@ -630,6 +628,36 @@ def ivfpq_topk(
     )
 
 
+def rerank_budget(
+    n: int, k: int, target_recall: float | None = None
+) -> int:
+    """Exact-rerank candidate budget per query (VERDICT r8 #5): the
+    coupled-knob floor (max of 50, a corpus fraction, 20·k) with the
+    FRACTION sized from the measured recall curve instead of pinned at
+    the generous n/20.
+
+    Measured (``scripts/pq_rerank_probe.py``, fixed-20k-query protocol,
+    m=8 / ksub=256, recall@5 vs exact truth):
+
+        sf1 (n=20k):   n/20 → 0.9933   n/50 → 0.9876
+                       n/100 → 0.9785  n/200 → 0.9731
+        sf10 (n=200k): n/20 → 0.9992 (r8 record, 3059 s)
+                       n/100 → 0.9941 (1373 s)  n/200 → 0.9869 (1154 s)
+
+    The step above the smallest measured fraction meeting the target
+    at BOTH probed decades is chosen (same on-the-curve discipline as
+    ``probe_fraction_for_recall``): 0.95 → n/200, 0.97 → n/100,
+    above → n/20. ``None`` keeps the legacy n/20 (the hash-anchor
+    default — existing catalog rows keep their digests)."""
+    if target_recall is None or target_recall > 0.97:
+        div = 20
+    elif target_recall > 0.95:
+        div = 100
+    else:
+        div = 200
+    return max(50, -(-n // div), 20 * k)
+
+
 def probe_fraction_for_recall(target_recall: float | None) -> float:
     """Probed-cell fraction for a recall@5 target, from the measured
     IVF/IVF-PQ curves (SCALING.md rounds 2-3, re-measured each round
@@ -685,6 +713,7 @@ def pq_topk(
     fit_sample: int = 100_000,
     max_broadcast_bytes: int | None = None,
     queries: DataFrame | None = None,
+    target_recall: float | None = 0.95,
 ) -> DataFrame:
     """Approximate cosine top-k via PQ + ADC with exact reranking.
 
@@ -712,14 +741,19 @@ def pq_topk(
     #2).
 
     ``rerank=None`` auto-sizes to a CONSTANT FRACTION of the corpus
-    (1/20, floor 50) — the same knob-coupling law as IVF's nprobe and
-    LSH's tables: a FIXED rerank cut decays recall as n grows
-    (measured recall@5 at m=8: ksub=16/rerank=50 gave 0.74 @ 500 →
-    0.50 @ 2,000; ksub=256 with rerank=n/20 holds 0.996 @ 500 /
-    0.971 @ 2,000, and n/10 reaches 0.996 @ 2,000). ``ksub=256``
-    (8-bit codes) is the standard PQ operating point — 16 centroids
-    per subspace quantizes too coarsely for the ADC ranking to keep
-    true neighbors inside any affordable cut."""
+    via the measured ``rerank_budget`` curve (VERDICT r8 #5) at the
+    default ``target_recall=0.95`` — a FRACTION, not a fixed count,
+    because a fixed cut decays recall as n grows (measured recall@5
+    at m=8: ksub=16/rerank=50 gave 0.74 @ 500 → 0.50 @ 2,000; the
+    same knob-coupling law as IVF's nprobe and LSH's tables), and a
+    TARGETED fraction, not always-n/20, because the r8 sf10 cell
+    measured the generous cut at recall 0.9992 — an order of
+    magnitude of rerank pairs past a 0.95 target (the wall numbers
+    are in ``rerank_budget``'s docstring). ``target_recall=None``
+    keeps the legacy n/20. ``ksub=256`` (8-bit codes) is the
+    standard PQ operating point — 16 centroids per subspace
+    quantizes too coarsely for the ADC ranking to keep true
+    neighbors inside any affordable cut."""
     import numpy as np
 
     from udacity_capstone_data_engineering_spark.operators.similarity import (
@@ -735,13 +769,14 @@ def pq_topk(
     )
     n = emb.count()
     if rerank is None:
-        # k-aware floor (VERDICT r4 #1): the n/20 cut was sized for
-        # k=5; serving a deeper top-k (rerank_two_stage's k1=20)
-        # needs ~20 exact-rerank candidates per returned neighbor
-        # (measured at 2k vectors: recall@20 0.82 at rerank=100 vs
-        # 0.945 at 20*k) or recall decays exactly like every other
-        # under-coupled knob.
-        rerank = max(50, -(-n // 20), 20 * k)
+        # Budget from the measured curve (VERDICT r8 #5; the default
+        # 0.95 target takes the n/200 step — at sf10 that cut the
+        # serving wall ~2.7× vs the old always-n/20 while holding
+        # recall@5 ≥ 0.95 at both probed decades); k-aware floor from
+        # r4 (a deeper top-k needs ~20 exact-rerank candidates per
+        # returned neighbor). At catalog gate scales the 50/20·k
+        # floors dominate, so pinned digests are unchanged.
+        rerank = rerank_budget(n, k, target_recall)
     books = fit_pq_codebooks(
         emb, vec_col, dim, m=m, ksub=ksub, seed=seed, sample=fit_sample, n=n
     )

@@ -28,6 +28,23 @@ from udacity_capstone_data_engineering_spark.sources.catalog import (
 _SEM_INC_MOD = 10  # vec_id % 10 == 0 -> the "incoming" batch
 
 
+def artifact_base(spark, sf_dir: str, kind: str) -> str:
+    """Session- AND sf-scoped artifact directory for standing-index
+    rows (r9): reuse within a session — serving amortizes the build,
+    the regime the build/serve bench split exists to measure — while
+    concurrent sessions and different scale factors never share an
+    artifact (a stale index from another corpus would serve wrong
+    verdicts)."""
+    import os
+    import tempfile
+
+    app_tag = spark.sparkContext.applicationId.replace("-", "_")
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(
+        tempfile.gettempdir(), f"spark_{kind}_{app_tag}_{sf_tag}"
+    )
+
+
 @_register(
     "semantic_dedup_incremental",
     semantic_dedup_incremental_oracle_sql(
@@ -74,16 +91,19 @@ def semantic_dedup_standing_index_q(spark, sf_dir):
     representatives (``build_semantic_index``), and serves each batch
     from the LOADED artifact — no standing-corpus scan, no Lloyd, the
     batch assigned map-only and eps-checked against its cluster's
-    representatives read straight off parquet. This query exercises
-    the full save → load → serve cycle (the build runs here too so the
-    row is self-contained and deterministic; production builds amortize
-    it across every batch). Same oracle as the in-process row — the
-    artifact round-trip is verdict-lossless (integer centroids and
-    quantized vectors in BIGINT arrays) — so the persisted path sits
-    under the full value-hash gate."""
+    representatives read straight off parquet. Builds the artifact
+    only when ABSENT (VERDICT r8 #4 — the r8 version rebuilt every
+    call, so its 31.2 s bench row conflated once-per-corpus build cost
+    with the per-batch serve cost; ``semantic_dedup_index_build`` in
+    phase 15 is now the build row, runs first in bench order, and this
+    row's wall is SERVE-ONLY). Self-contained under any-subset
+    correctness runs: a missing artifact is built in-row, and the
+    build is deterministic, so results are identical either way. Same
+    oracle as the in-process row — the artifact round-trip is
+    verdict-lossless (integer centroids and quantized vectors in
+    BIGINT arrays) — so the persisted path sits under the full
+    value-hash gate."""
     import os
-    import shutil
-    import tempfile
 
     from udacity_capstone_data_engineering_spark.operators.semdedup import (
         build_semantic_index,
@@ -91,19 +111,13 @@ def semantic_dedup_standing_index_q(spark, sf_dir):
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    standing = fan_out_small_scan(
-        emb.filter(F.col("vec_id") % _SEM_INC_MOD != 0)
-    )
     batch = fan_out_small_scan(emb.filter(F.col("vec_id") % _SEM_INC_MOD == 0))
-    # Deterministic per-session workdir (the ADVICE-r6 pattern from the
-    # bucketed fingerprint index): repeat invocations reuse the path,
-    # concurrent sessions get their own, nothing leaks per run.
-    app_tag = spark.sparkContext.applicationId.replace("-", "_")
-    base = os.path.join(
-        tempfile.gettempdir(), f"spark_sem_index_{app_tag}"
-    )
-    shutil.rmtree(base, ignore_errors=True)
-    build_semantic_index(standing, "vec_id", "embedding", base, k=None)
+    base = artifact_base(spark, sf_dir, "sem_index")
+    if not os.path.exists(os.path.join(base, "meta")):
+        standing = fan_out_small_scan(
+            emb.filter(F.col("vec_id") % _SEM_INC_MOD != 0)
+        )
+        build_semantic_index(standing, "vec_id", "embedding", base, k=None)
     return semantic_dedup_against_index(
         spark, batch, "vec_id", "embedding", base
     )
