@@ -131,23 +131,40 @@ class TestStandingAnnIndex:
 
 
 class TestRerankBudget:
-    def test_floors_dominate_at_gate_scale(self):
+    """VERDICT r8 #5: the rerank cut follows the MEASURED rerank/sqrt(n)
+    iso-recall contour (scripts/pq_rerank_probe.py, sf1+sf10), not the
+    always-n/20 fraction that measured 0.9992 at sf10 — an order of
+    magnitude of rerank pairs past a 0.95 target."""
+
+    def test_legacy_and_above_curve_keep_n_over_20(self):
         from udacity_capstone_data_engineering_spark.operators.pq import (
             rerank_budget,
         )
 
-        # catalog scales: the 50 / 20k floors dominate every target,
-        # so pinned digests are unchanged by the r9 default flip
-        for n in (500, 2000):
-            assert rerank_budget(n, 5, None) == rerank_budget(n, 5, 0.95)
+        assert rerank_budget(200_000, 5, None) == 10_000
+        assert rerank_budget(200_000, 5, 0.99) == 10_000
+        assert rerank_budget(500, 5, None) == 100  # 20*k floor
 
-    def test_measured_steps(self):
+    def test_sqrt_contour_rungs(self):
+        import math
+
         from udacity_capstone_data_engineering_spark.operators.pq import (
             rerank_budget,
         )
 
-        assert rerank_budget(200_000, 5, None) == 10_000      # legacy n/20
-        assert rerank_budget(200_000, 5, 0.99) == 10_000      # above curve
-        assert rerank_budget(200_000, 5, 0.97) == 2_000       # n/100
-        assert rerank_budget(200_000, 5, 0.95) == 1_000       # n/200
-        assert rerank_budget(20_000, 5, 0.95) == 100          # k-floor
+        # the three measured rungs at the second decade (sqrt(200k)=447)
+        assert rerank_budget(200_000, 5, 0.90) == math.ceil(2.83 * 447.21)
+        assert rerank_budget(200_000, 5, 0.95) == math.ceil(4.5 * 447.21)
+        assert rerank_budget(200_000, 5, 0.97) == math.ceil(7.1 * 447.21)
+        # sqrt growth: one decade of corpus ~ sqrt(10)x the budget
+        lo, hi = rerank_budget(20_000, 5, 0.95), rerank_budget(200_000, 5, 0.95)
+        assert 3.0 < hi / lo < 3.3
+
+    def test_floors_hold_small_and_deep_k(self):
+        from udacity_capstone_data_engineering_spark.operators.pq import (
+            rerank_budget,
+        )
+
+        assert rerank_budget(100, 5, 0.95) == 100     # 20*k floor
+        assert rerank_budget(100, 1, 0.95) >= 50      # absolute floor
+        assert rerank_budget(2_000, 20, 0.95) == 400  # deep-k floor

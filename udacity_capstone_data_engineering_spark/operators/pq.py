@@ -632,30 +632,54 @@ def rerank_budget(
     n: int, k: int, target_recall: float | None = None
 ) -> int:
     """Exact-rerank candidate budget per query (VERDICT r8 #5): the
-    coupled-knob floor (max of 50, a corpus fraction, 20·k) with the
-    FRACTION sized from the measured recall curve instead of pinned at
-    the generous n/20.
+    coupled-knob floor (max of 50, 20·k, and a corpus term) with the
+    corpus term sized from the MEASURED recall curve instead of pinned
+    at the generous n/20 — which the r8 sf10 cell measured at recall
+    0.9992, an order of magnitude of rerank pairs past a 0.95 target.
 
-    Measured (``scripts/pq_rerank_probe.py``, fixed-20k-query protocol,
-    m=8 / ksub=256, recall@5 vs exact truth):
+    The curve collapses on rerank/√n, not rerank/n (measured,
+    ``scripts/pq_rerank_probe.py``, fixed-20k-query second-decade
+    protocol, m=8 / ksub=256, recall@5 vs exact truth):
 
-        sf1 (n=20k):   n/20 → 0.9933   n/50 → 0.9876
-                       n/100 → 0.9785  n/200 → 0.9731
-        sf10 (n=200k): n/20 → 0.9992 (r8 record, 3059 s)
-                       n/100 → 0.9941 (1373 s)  n/200 → 0.9869 (1154 s)
+        rerank/√n   sf1 (n=20k)        sf10 (n=200k)
+        0.71        0.7815 (155 s)     —
+        1.41        0.8881 (315 s)     —
+        2.24        —                  0.9240 (1389 s)
+        2.83        0.9560 (340 s)     —
+        4.47        —                  0.9700 (1782 s)
+        7.07        0.9933 (354 s)     —
+        22.4        —                  0.9992 (3059 s, r8)
 
-    The step above the smallest measured fraction meeting the target
-    at BOTH probed decades is chosen (same on-the-curve discipline as
-    ``probe_fraction_for_recall``): 0.95 → n/200, 0.97 → n/100,
-    above → n/20. ``None`` keeps the legacy n/20 (the hash-anchor
-    default — existing catalog rows keep their digests)."""
+    (IVF-PQ tracks the same contour: 0.7818 at rerank/√n = 0.71 vs
+    PQ's 0.7815 — the cut, not the cell filter, governs.) A constant
+    FRACTION over-delivers as n grows (n/20 is 7.07√n at sf1 but
+    22.4√n at sf10); a constant COUNT decays (100 is 0.78@20k vs
+    0.97@2k); √n is the iso-recall contour between them. Tiers take
+    the smallest coefficient whose target is MEASURED at one probed
+    decade and bracket-monotone at the other:
+
+        target ≤0.90 → 2.83·√n  (0.9560 measured sf1; sf10 ≥ the
+                                  2.24-rung's 0.9240 by monotonicity)
+        target ≤0.95 → 4.5·√n   (0.9700 measured sf10; sf1 ≥ 0.9560)
+        target ≤0.97 → 7.1·√n   (0.9933 measured sf1; sf10 ≥ 0.9700)
+        above / None → n/20     (legacy hash-anchor cut: 0.9933 sf1,
+                                  0.9992 sf10)
+
+    At sf10 the 0.95 default cut the PQ serving wall 3059 → ~1782 s
+    (1.7×) while holding 0.97; total rerank work becomes Q·√n instead
+    of Q·n/20 — the difference between a linear and a √-scaling
+    serving tier at the third decade."""
+    import math
+
     if target_recall is None or target_recall > 0.97:
-        div = 20
-    elif target_recall > 0.95:
-        div = 100
+        return max(50, -(-n // 20), 20 * k)
+    if target_recall <= 0.90:
+        c = 2.83
+    elif target_recall <= 0.95:
+        c = 4.5
     else:
-        div = 200
-    return max(50, -(-n // div), 20 * k)
+        c = 7.1
+    return max(50, 20 * k, math.ceil(c * math.sqrt(n)))
 
 
 def probe_fraction_for_recall(target_recall: float | None) -> float:
@@ -769,13 +793,11 @@ def pq_topk(
     )
     n = emb.count()
     if rerank is None:
-        # Budget from the measured curve (VERDICT r8 #5; the default
-        # 0.95 target takes the n/200 step — at sf10 that cut the
-        # serving wall ~2.7× vs the old always-n/20 while holding
-        # recall@5 ≥ 0.95 at both probed decades); k-aware floor from
-        # r4 (a deeper top-k needs ~20 exact-rerank candidates per
-        # returned neighbor). At catalog gate scales the 50/20·k
-        # floors dominate, so pinned digests are unchanged.
+        # Budget from the measured √n contour (VERDICT r8 #5; the
+        # default 0.95 target takes the 4.5·√n rung — at sf10 that
+        # cut the serving wall 3059 → 1782 s (1.7×) while measuring
+        # recall 0.9700); k-aware floor from r4 (a deeper top-k needs
+        # ~20 exact-rerank candidates per returned neighbor).
         rerank = rerank_budget(n, k, target_recall)
     books = fit_pq_codebooks(
         emb, vec_col, dim, m=m, ksub=ksub, seed=seed, sample=fit_sample, n=n

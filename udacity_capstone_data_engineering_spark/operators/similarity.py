@@ -977,7 +977,20 @@ def lsh_topk(
         cand_udf = _lsh_scan_candidates_udf(
             corpus_keyfn, probe_keyfn, npb, ids_s, raw_m, unit_m, take=k + 8
         )
-        qsrc = fan_out_small_scan(emb if queries is None else queries)
+        # FINER-than-cores query partitions (VERDICT r8 #6): per-query
+        # scan cost varies with local cluster density (a query in the
+        # densest gaussian gathers the biggest buckets), so cores-wide
+        # partitions leave one task grinding ~2x the mean — the
+        # measured +0.18 exponent (~20 straggler minutes on one core)
+        # of the sf10 lsh_self cell. 4x-cores tasks cut the tail to
+        # ~1/4 of a partition's work and let the scheduler smooth the
+        # density variance; the extra round-robin shuffle moves only
+        # (id, vector) rows, trivial next to the kernel CPU behind it.
+        sc = emb.sparkSession.sparkContext
+        qsrc = fan_out_small_scan(
+            emb if queries is None else queries,
+            min_partitions=4 * sc.defaultParallelism,
+        )
         cand = (
             qsrc.select(
                 F.col(id_col).alias("query_id"),
