@@ -304,7 +304,7 @@ def ann_topk_against_index(
             cell_codes.append(cmat[mask])
 
         cand = _ivfpq_candidates_udf(
-            centers, books, cell_ids, cell_codes, nprobe, rerank
+            spark, centers, books, cell_ids, cell_codes, nprobe, rerank
         )
         from udacity_capstone_data_engineering_spark.sources.catalog import (
             fan_out_small_scan,

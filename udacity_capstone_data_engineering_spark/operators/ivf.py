@@ -98,7 +98,7 @@ def _build_inverted_file(ids, mat, centers, chunk_rows: int = 262_144):
     return cell_ids, cell_mats
 
 
-def _ivf_scan_candidates_udf(centers, cell_ids, cell_mats, nprobe, take):
+def _ivf_scan_candidates_udf(spark, centers, cell_ids, cell_mats, nprobe, take):
     """pandas_udf: unit query vector → its top-``take`` candidate ids
     by EXACT cosine over the probed cells' vectors (score desc, id asc
     ties), computed cell-at-a-time with dgemms — no candidate-pair
@@ -113,14 +113,38 @@ def _ivf_scan_candidates_udf(centers, cell_ids, cell_mats, nprobe, take):
     the log factor is trivial and the stable id-ascending storage
     order makes ties deterministic), and one global lexsort merges
     chunks to the final per-query top-``take``."""
+    import hashlib
+
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    from udacity_capstone_data_engineering_spark.operators.similarity import (
+        _cached_broadcast,
+    )
+
     correction = 0.5 * (centers * centers).sum(axis=1)
     n_cells = len(centers)
+    # the inverted file (the full unit matrix, cell-grouped) ships as
+    # ONE broadcast — fetched once per worker, not re-deserialized
+    # into every task's UDF closure (r9; see _cached_broadcast)
+    bc = _cached_broadcast(
+        spark,
+        (
+            "ivf_scan",
+            id(spark.sparkContext),
+            n_cells,
+            sum(len(c) for c in cell_ids),
+            hashlib.sha1(centers.tobytes()).hexdigest(),
+            hashlib.sha1(
+                b"".join(c.tobytes() for c in cell_ids)
+            ).hexdigest(),
+        ),
+        lambda: (cell_ids, cell_mats),
+    )
 
     def scan(v):
+        cell_ids, cell_mats = bc.value
         x = np.vstack(v.to_numpy())
         nq = len(x)
         cs = x @ centers.T - correction
@@ -338,7 +362,7 @@ def ivf_topk(
         # k+8 absorbs last-ulp kernel disagreement at the cut AND the
         # self row; the final ordering below is _score_pairs' either way
         cand = _ivf_scan_candidates_udf(
-            centers, cell_ids, cell_mats, nprobe, take=k + 8
+            emb.sparkSession, centers, cell_ids, cell_mats, nprobe, take=k + 8
         )
         # the scan is the CPU-heavy stage: widen a narrow parquet scan
         # so it parallelizes (no-op when partitions >= cores — the

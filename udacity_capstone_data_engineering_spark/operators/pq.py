@@ -266,40 +266,87 @@ def _adc_top_block(luts, ids, codes, take):
     )
 
 
-def _adc_candidates_udf(books, ids, codes, rerank: int):
+def _adc_candidates_udf(spark, books, ids, codes, rerank: int):
     """pandas_udf: unit query vector → array<long> of the ``rerank``
-    best candidate ids by ADC score over the broadcast code matrix.
+    best candidate ids by ADC score over the broadcast code matrix
+    (ONE broadcast per corpus — fetched once per worker, not
+    re-deserialized into every task's closure; r9, see
+    ``similarity._cached_broadcast``).
 
     The scan is the chunked tournament (``_adc_top_block``) — the
     score buffer is ~256 MB per Arrow batch regardless of corpus
     size.  Ties break toward the LOWER vec_id, so candidate sets are
     deterministic."""
+    import hashlib
+
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    from udacity_capstone_data_engineering_spark.operators.similarity import (
+        _cached_broadcast,
+    )
+
+    bc = _cached_broadcast(
+        spark,
+        (
+            "adc_scan",
+            id(spark.sparkContext),
+            codes.shape,
+            hashlib.sha1(codes.tobytes()).hexdigest(),
+            hashlib.sha1(ids.tobytes()).hexdigest(),
+        ),
+        lambda: (ids, codes),
+    )
+
     def cand(v):
+        b_ids, b_codes = bc.value
         x = np.vstack(v.to_numpy())
         luts = _query_luts(x, books)
-        top_i, _ = _adc_top_block(luts, ids, codes, rerank)
+        top_i, _ = _adc_top_block(luts, b_ids, b_codes, rerank)
         return pd.Series(list(top_i))
 
     return pandas_udf(cand, "array<long>")
 
 
-def _ivfpq_candidates_udf(centers, books, cell_ids, cell_codes, nprobe, rerank):
+def _ivfpq_candidates_udf(
+    spark, centers, books, cell_ids, cell_codes, nprobe, rerank
+):
     """pandas_udf: unit query vector → array<long> of the ``rerank``
     best candidate ids by ADC score over ONLY the query's ``nprobe``
     nearest cells' codes — the inverted-file filter that makes the
-    scan sub-linear. Deterministic: stable argsorts + id-sorted cells."""
+    scan sub-linear. Deterministic: stable argsorts + id-sorted cells.
+    The coded inverted file ships as ONE broadcast (fetched once per
+    worker, not re-deserialized per task; r9)."""
+    import hashlib
+
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    from udacity_capstone_data_engineering_spark.operators.similarity import (
+        _cached_broadcast,
+    )
+
     m, _k, dsub = books.shape
     correction = 0.5 * (centers * centers).sum(axis=1)
+    bc = _cached_broadcast(
+        spark,
+        (
+            "ivfpq_scan",
+            id(spark.sparkContext),
+            len(cell_ids),
+            sum(len(c) for c in cell_ids),
+            hashlib.sha1(centers.tobytes()).hexdigest(),
+            hashlib.sha1(
+                b"".join(c.tobytes() for c in cell_ids)
+            ).hexdigest(),
+        ),
+        lambda: (cell_ids, cell_codes),
+    )
 
     def cand(v):
+        cell_ids, cell_codes = bc.value
         x = np.vstack(v.to_numpy())
         cell_scores = x @ centers.T - correction
         take_cells = min(nprobe, cell_scores.shape[1])
@@ -601,7 +648,8 @@ def ivfpq_topk(
             cell_codes.append(codes[mask])
 
         cand = _ivfpq_candidates_udf(
-            centers, books, cell_ids, cell_codes, nprobe, rerank
+            emb.sparkSession, centers, books, cell_ids, cell_codes,
+            nprobe, rerank,
         )
         # the ADC scan is the CPU-heavy stage: widen a narrow parquet
         # scan so it parallelizes (no-op at real scale)
@@ -857,7 +905,7 @@ def pq_topk(
             else np.zeros((0, m), dtype=np.uint8)
         )
 
-        cand = _adc_candidates_udf(books, ids, codes, rerank)
+        cand = _adc_candidates_udf(emb.sparkSession, books, ids, codes, rerank)
         # widen a narrow scan ahead of the CPU-heavy ADC stage
         # (no-op at real scale)
         from udacity_capstone_data_engineering_spark.sources.catalog import (

@@ -37,18 +37,22 @@ _KERNEL_BC: "dict[tuple, object]" = {}
 _KERNEL_BC_MAX = 3
 
 
-def _kernel_broadcast(spark, index: dict, mat, sumsq):
-    import hashlib
-
-    key = (
-        id(spark.sparkContext),
-        mat.shape,
-        hashlib.sha1(mat.tobytes()).hexdigest(),
-        hashlib.sha1(repr(sorted(index)).encode()).hexdigest(),
-    )
+def _cached_broadcast(spark, key, build):
+    """Content-keyed LRU of live TorrentBroadcasts (shared by every
+    Arrow scan kernel — exact-cosine, LSH bucket index, IVF inverted
+    file, PQ code table). Shipping the index through an explicit
+    broadcast instead of UDF-closure capture matters twice over (r9):
+    a closure is re-serialized to the python worker PER TASK — the 4×
+    finer kernel partitions of the straggler fix turned that into
+    ~128 × 200 MB of deserialization at sf10 (measured DOUBLING the
+    sf1 lsh_self wall) — while a broadcast value is fetched once per
+    worker process and cached. Evicted entries are
+    unpersist(blocking=False)-ed — safe even if a stale plan still
+    references one, since Spark re-ships an unpersisted broadcast
+    from the driver on next use."""
     bc = _KERNEL_BC.get(key)
     if bc is None:
-        bc = spark.sparkContext.broadcast((index, mat, sumsq))
+        bc = spark.sparkContext.broadcast(build())
         _KERNEL_BC[key] = bc
         while len(_KERNEL_BC) > _KERNEL_BC_MAX:
             old = _KERNEL_BC.pop(next(iter(_KERNEL_BC)))
@@ -57,6 +61,19 @@ def _kernel_broadcast(spark, index: dict, mat, sumsq):
             except Exception:
                 pass  # already cleaned by context shutdown
     return bc
+
+
+def _kernel_broadcast(spark, index: dict, mat, sumsq):
+    import hashlib
+
+    key = (
+        "cosine",
+        id(spark.sparkContext),
+        mat.shape,
+        hashlib.sha1(mat.tobytes()).hexdigest(),
+        hashlib.sha1(repr(sorted(index)).encode()).hexdigest(),
+    )
+    return _cached_broadcast(spark, key, lambda: (index, mat, sumsq))
 
 
 def _exact_cosine_kernel_pairs(
@@ -647,7 +664,9 @@ def _collect_raw_matrix(emb, id_col, vec_col, dim):
     return ids, raw, unit
 
 
-def _lsh_scan_candidates_udf(corpus_keyfn, probe_keyfn, n_probes, ids, raw, unit, take):
+def _lsh_scan_candidates_udf(
+    spark, corpus_keyfn, probe_keyfn, n_probes, ids, raw, unit, take
+):
     """pandas_udf: RAW query vector → its top-``take`` candidate ids
     from the broadcast bucket index, scored exactly — the LSH analogue
     of ``ivf._ivf_scan_candidates_udf`` (r5: the candidate JOIN
@@ -662,6 +681,8 @@ def _lsh_scan_candidates_udf(corpus_keyfn, probe_keyfn, n_probes, ids, raw, unit
     deduplicated with one sort, and the exact cosine top-``take`` is
     emitted with (score desc, id asc) ties — zero-norm corpus rows
     score −inf, matching the join path's NULL-cosine-ranked-last."""
+    import hashlib
+
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -669,18 +690,37 @@ def _lsh_scan_candidates_udf(corpus_keyfn, probe_keyfn, n_probes, ids, raw, unit
     # build the (table, key) → positions index from the corpus keys
     corpus_keys = corpus_keyfn(raw)  # (n, tables) — probes=0 machinery
     n_tables = corpus_keys.shape[1] if corpus_keys.ndim == 2 else 1
-    index: dict[tuple[int, int], object] = {}
-    for t in range(n_tables):
-        kt = corpus_keys[:, t]
-        order = np.argsort(kt, kind="stable")
-        sk = kt[order]
-        bounds = np.flatnonzero(np.diff(sk)) + 1
-        for grp in np.split(order, bounds):
-            if len(grp):
-                index[(t, int(kt[grp[0]]))] = np.sort(grp)
-    zero_mask = (unit == 0).all(axis=1)
+
+    def build():
+        index: dict[tuple[int, int], object] = {}
+        for t in range(n_tables):
+            kt = corpus_keys[:, t]
+            order = np.argsort(kt, kind="stable")
+            sk = kt[order]
+            bounds = np.flatnonzero(np.diff(sk)) + 1
+            for grp in np.split(order, bounds):
+                if len(grp):
+                    index[(t, int(kt[grp[0]]))] = np.sort(grp)
+        zero_mask = (unit == 0).all(axis=1)
+        return index, ids, unit, zero_mask
+
+    # index + matrices go to workers as ONE broadcast (fetched once
+    # per worker, not re-deserialized per task — see _cached_broadcast)
+    bc = _cached_broadcast(
+        spark,
+        (
+            "lsh_scan",
+            id(spark.sparkContext),
+            unit.shape,
+            n_tables,
+            n_probes,
+            hashlib.sha1(raw.tobytes()).hexdigest(),
+        ),
+        build,
+    )
 
     def scan(v):
+        index, b_ids, b_unit, zero_mask = bc.value
         x = np.vstack(v.to_numpy())
         norms = np.linalg.norm(x, axis=1, keepdims=True)
         xq = x / np.where(norms == 0, 1.0, norms)
@@ -697,10 +737,10 @@ def _lsh_scan_candidates_udf(corpus_keyfn, probe_keyfn, n_probes, ids, raw, unit
                 out.append(np.zeros(0, dtype=np.int64))
                 continue
             pos = np.unique(np.concatenate(parts))
-            s = unit[pos] @ xq[qi]
+            s = b_unit[pos] @ xq[qi]
             s[zero_mask[pos]] = -np.inf
             top = np.argsort(-s, kind="stable")[: min(take, len(pos))]
-            out.append(ids[pos[top]].astype(np.int64))
+            out.append(b_ids[pos[top]].astype(np.int64))
         return pd.Series(out)
 
     return pandas_udf(scan, "array<long>")
@@ -975,7 +1015,14 @@ def lsh_topk(
         corpus_keyfn, _ = _lsh_key_fn(dim, planes, tables, 0)
         probe_keyfn, npb = _lsh_key_fn(dim, planes, tables, multiprobe)
         cand_udf = _lsh_scan_candidates_udf(
-            corpus_keyfn, probe_keyfn, npb, ids_s, raw_m, unit_m, take=k + 8
+            emb.sparkSession,
+            corpus_keyfn,
+            probe_keyfn,
+            npb,
+            ids_s,
+            raw_m,
+            unit_m,
+            take=k + 8,
         )
         # FINER-than-cores query partitions (VERDICT r8 #6): per-query
         # scan cost varies with local cluster density (a query in the
@@ -984,12 +1031,17 @@ def lsh_topk(
         # measured +0.18 exponent (~20 straggler minutes on one core)
         # of the sf10 lsh_self cell. 4x-cores tasks cut the tail to
         # ~1/4 of a partition's work and let the scheduler smooth the
-        # density variance; the extra round-robin shuffle moves only
-        # (id, vector) rows, trivial next to the kernel CPU behind it.
+        # density variance. ADAPTIVE, not unconditional: each task
+        # pays fixed scheduler/Arrow overhead (~0.3 s here), so 4x
+        # tasks on a minute-scale cell is pure loss (measured +26 s on
+        # the 60 s sf1 cell) — widen only when estimated candidate
+        # volume says the scan stage is tens of core-minutes, where a
+        # straggler tail dominates fixed overhead by orders.
         sc = emb.sparkSession.sparkContext
+        fan = 4 if est_candidates > 16 * LSH_JOIN_MAX_CANDIDATES else 1
         qsrc = fan_out_small_scan(
             emb if queries is None else queries,
-            min_partitions=4 * sc.defaultParallelism,
+            min_partitions=fan * sc.defaultParallelism,
         )
         cand = (
             qsrc.select(
