@@ -90,6 +90,12 @@ def test_no_python_udfs_in_relational_tier(spark, sf_dir):
         # (Arrow scoring kernel) with lsh_topk on the projection — both
         # already-declared boundaries; ids only cross Python.
         "jl_manifold_capture",
+        # r9: the standing ANN index rows — the build encodes through
+        # the declared Arrow encode/assign kernels; the serve probes +
+        # ADC-scans + exact-reranks with the same kernels as
+        # embedding_ivfpq_topk, plus the brute-force recall gate.
+        "ann_index_build",
+        "ann_standing_serve",
     }
     for name, fn in QUERIES.items():
         if name in declared_arrow:
@@ -476,6 +482,10 @@ def test_no_cartesian_anywhere_and_bnlj_only_where_documented(spark, sf_dir):
         # quadratic brute-force anchor, and its hits/total capture
         # ratio is a 1-row x 1-row aggregate cross join
         "jl_manifold_capture",
+        # r9: the standing-ANN serve row's recall gate — exact
+        # baseline restricted to the query batch (documented anchor)
+        # plus the 1-row hits x stats aggregate cross join
+        "ann_standing_serve",
     }
     offenders_cart, offenders_bnlj = [], []
     for name, (fn, _) in sorted(_REGISTRY.items()):

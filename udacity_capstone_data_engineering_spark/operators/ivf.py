@@ -188,7 +188,18 @@ def _ivf_scan_candidates_udf(spark, centers, cell_ids, cell_mats, nprobe, take):
             ]
         )
 
-    return pandas_udf(scan, "array<long>")
+    # .asNondeterministic() is an OPTIMIZER FENCE, not a semantics
+    # change (the kernel is seeded/deterministic): without it,
+    # InferFiltersFromGenerate infers `size(result) > 0` from the
+    # downstream explode and pushes that filter — WITH the whole Arrow
+    # UDF inside it — below the fan-out exchange, re-evaluating the
+    # ENTIRE scan a second time on the raw one-full-split layout:
+    # one serial full-corpus scan on one core (r9 diagnosis; this
+    # duplicate evaluation, not density variance, was r8's measured
+    # sf10 "straggler tail"). Nondeterministic expressions cannot be
+    # duplicated or moved, so the kernel runs once, above the
+    # exchange, at the fan-out's parallelism.
+    return pandas_udf(scan, "array<long>").asNondeterministic()
 
 
 # Per-batch score-buffer budget for the in-UDF IVF scan, in float64
@@ -219,7 +230,18 @@ def _probe_cells_udf(centers, nprobe: int):
         top = np.argsort(-scores, axis=1, kind="stable")[:, :take]
         return pd.Series(list(top.astype("int32")))
 
-    return pandas_udf(probe, "array<int>")
+    # .asNondeterministic() is an OPTIMIZER FENCE, not a semantics
+    # change (the kernel is seeded/deterministic): without it,
+    # InferFiltersFromGenerate infers `size(result) > 0` from the
+    # downstream explode and pushes that filter — WITH the whole Arrow
+    # UDF inside it — below the fan-out exchange, re-evaluating the
+    # ENTIRE scan a second time on the raw one-full-split layout:
+    # one serial full-corpus scan on one core (r9 diagnosis; this
+    # duplicate evaluation, not density variance, was r8's measured
+    # sf10 "straggler tail"). Nondeterministic expressions cannot be
+    # duplicated or moved, so the kernel runs once, above the
+    # exchange, at the fan-out's parallelism.
+    return pandas_udf(probe, "array<int>").asNondeterministic()
 
 
 def ivf_topk(

@@ -306,7 +306,18 @@ def _adc_candidates_udf(spark, books, ids, codes, rerank: int):
         top_i, _ = _adc_top_block(luts, b_ids, b_codes, rerank)
         return pd.Series(list(top_i))
 
-    return pandas_udf(cand, "array<long>")
+    # .asNondeterministic() is an OPTIMIZER FENCE, not a semantics
+    # change (the kernel is seeded/deterministic): without it,
+    # InferFiltersFromGenerate infers `size(result) > 0` from the
+    # downstream explode and pushes that filter — WITH the whole Arrow
+    # UDF inside it — below the fan-out exchange, re-evaluating the
+    # ENTIRE scan a second time on the raw one-full-split layout:
+    # one serial full-corpus scan on one core (r9 diagnosis; this
+    # duplicate evaluation, not density variance, was r8's measured
+    # sf10 "straggler tail"). Nondeterministic expressions cannot be
+    # duplicated or moved, so the kernel runs once, above the
+    # exchange, at the fan-out's parallelism.
+    return pandas_udf(cand, "array<long>").asNondeterministic()
 
 
 def _ivfpq_candidates_udf(
@@ -369,7 +380,18 @@ def _ivfpq_candidates_udf(
             out.append(ids[top])
         return pd.Series(out)
 
-    return pandas_udf(cand, "array<long>")
+    # .asNondeterministic() is an OPTIMIZER FENCE, not a semantics
+    # change (the kernel is seeded/deterministic): without it,
+    # InferFiltersFromGenerate infers `size(result) > 0` from the
+    # downstream explode and pushes that filter — WITH the whole Arrow
+    # UDF inside it — below the fan-out exchange, re-evaluating the
+    # ENTIRE scan a second time on the raw one-full-split layout:
+    # one serial full-corpus scan on one core (r9 diagnosis; this
+    # duplicate evaluation, not density variance, was r8's measured
+    # sf10 "straggler tail"). Nondeterministic expressions cannot be
+    # duplicated or moved, so the kernel runs once, above the
+    # exchange, at the fan-out's parallelism.
+    return pandas_udf(cand, "array<long>").asNondeterministic()
 
 
 def _sharded_adc_candidates(

@@ -532,7 +532,13 @@ def lsh_bucket_keys(
         x = np.vstack(v.to_numpy())  # (batch, dim)
         return pd.Series(list(keyfn(x)))
 
-    udf = pandas_udf(buckets, "array<long>")
+    # optimizer fence (r9): the downstream posexplode makes
+    # InferFiltersFromGenerate infer `size(__keys) > 0` and push it —
+    # with the whole bucketing UDF inside — below any upstream
+    # exchange, re-running the full keying a second time on the raw
+    # scan layout (see _lsh_scan_candidates_udf for the measured
+    # diagnosis). asNondeterministic pins one evaluation, in place.
+    udf = pandas_udf(buckets, "array<long>").asNondeterministic()
     keyed = emb.select("*", udf(F.col(vec_col).cast("array<double>")).alias("__keys"))
     stride = n_probes + 1
     exploded = keyed.select(
@@ -743,7 +749,18 @@ def _lsh_scan_candidates_udf(
             out.append(b_ids[pos[top]].astype(np.int64))
         return pd.Series(out)
 
-    return pandas_udf(scan, "array<long>")
+    # .asNondeterministic() is an OPTIMIZER FENCE, not a semantics
+    # change (the kernel is seeded/deterministic): without it,
+    # InferFiltersFromGenerate infers `size(result) > 0` from the
+    # downstream explode and pushes that filter — WITH the whole Arrow
+    # UDF inside it — below the fan-out exchange, re-evaluating the
+    # ENTIRE scan a second time on the raw one-full-split layout:
+    # one serial full-corpus scan on one core (r9 diagnosis; this
+    # duplicate evaluation, not density variance, was r8's measured
+    # sf10 "straggler tail"). Nondeterministic expressions cannot be
+    # duplicated or moved, so the kernel runs once, above the
+    # exchange, at the fan-out's parallelism.
+    return pandas_udf(scan, "array<long>").asNondeterministic()
 
 
 def _score_pairs(
