@@ -140,12 +140,43 @@ HEADLINE = [
 ]
 
 
+def _load_guard() -> bool:
+    """Refuse to stamp a clean record on a loaded host (VERDICT r9 #1:
+    the r9 official bench started at load5 19.5/32 cpus and embedded
+    ~25% phantom regression that cost a judge session to adjudicate).
+
+    Waits up to $SPARK_GRAFT_LOAD_WAIT seconds (default 240) for load1
+    to fall under $SPARK_GRAFT_LOAD_MAX (default 3.0); if the host is
+    still loaded, the run proceeds — a partial record beats none for a
+    non-interactive driver — but the record carries
+    ``load_tainted: true`` so nobody reads its ratios as code drift."""
+    max_load = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "3.0"))
+    deadline = time.monotonic() + float(
+        os.environ.get("SPARK_GRAFT_LOAD_WAIT", "240")
+    )
+    while True:
+        l1 = os.getloadavg()[0]
+        if l1 < max_load:
+            return False
+        if time.monotonic() >= deadline:
+            print(
+                json.dumps(
+                    {"bench_warning": "load_tainted", "load1": round(l1, 2),
+                     "max": max_load}
+                ),
+                flush=True,
+            )
+            return True
+        time.sleep(10)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     # Host-load metadata (VERDICT r4 #4): cross-round ratios are only
     # meaningful between runs at comparable load — r4's untouched tier
     # drifted 1.15x purely from outside-the-container contention.
+    load_tainted = _load_guard()
     load_start = os.getloadavg()
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -191,6 +222,7 @@ def main() -> None:
             "load5_start": round(load_start[1], 2),
             "load1_end": round(load_end[0], 2),
             "load5_end": round(load_end[1], 2),
+            "load_tainted": load_tainted,
         },
     }
     print(json.dumps(record), flush=True)
@@ -212,6 +244,7 @@ def main() -> None:
                 "top20": top20,
                 "load1_start": round(load_start[0], 2),
                 "load1_end": round(load_end[0], 2),
+                "load_tainted": load_tainted,
             }
         ),
         flush=True,

@@ -50,7 +50,13 @@ SF1 = "/tmp/sf1_synth"
 SRC = "/root/testdata/sf0.1"
 
 
-def generate(seed: int = 20260814, dst: str = SF1, vec_mult: int = 10, doc_mult: int = 10) -> None:
+def generate(
+    seed: int = 20260814,
+    dst: str = SF1,
+    vec_mult: int = 10,
+    doc_mult: int = 10,
+    embeddings_only: bool = False,
+) -> None:
     import duckdb
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -90,6 +96,9 @@ def generate(seed: int = 20260814, dst: str = SF1, vec_mult: int = 10, doc_mult:
         ),
         f"{dst}/embeddings.parquet",
     )
+    if embeddings_only:  # the third-decade ANN probe needs nothing else
+        print(f"generated {n_vec} vectors -> {dst}", flush=True)
+        return
 
     # --- documents: vocabulary + length distribution from sf0.1 ---
     texts = [

@@ -96,6 +96,12 @@ def test_no_python_udfs_in_relational_tier(spark, sf_dir):
         # embedding_ivfpq_topk, plus the brute-force recall gate.
         "ann_index_build",
         "ann_standing_serve",
+        # r10: append encodes the batch through the same declared
+        # Arrow encode/assign kernels as the build row
+        "ann_index_append",
+        # r10: the dispatch facade routes to lsh_topk at gate scale and
+        # gates recall against the brute-force Arrow anchor
+        "ann_auto_dispatch",
     }
     for name, fn in QUERIES.items():
         if name in declared_arrow:
@@ -486,6 +492,9 @@ def test_no_cartesian_anywhere_and_bnlj_only_where_documented(spark, sf_dir):
         # baseline restricted to the query batch (documented anchor)
         # plus the 1-row hits x stats aggregate cross join
         "ann_standing_serve",
+        # r10: the dispatch facade's recall gate — same documented
+        # brute-force anchor + 1-row hits x totals cross join
+        "ann_auto_dispatch",
     }
     offenders_cart, offenders_bnlj = [], []
     for name, (fn, _) in sorted(_REGISTRY.items()):

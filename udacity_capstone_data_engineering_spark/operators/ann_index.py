@@ -57,6 +57,7 @@ def build_ann_index(
     n_centroids: int | None = None,
     seed: int = 42,
     fit_sample: int = 100_000,
+    fit_on: DataFrame | None = None,
 ) -> dict:
     """Fit coarse centroids + PQ codebooks and persist them with the
     encoded inverted file. Returns the meta dict.
@@ -65,44 +66,41 @@ def build_ann_index(
     ``ivfpq_topk`` runs (``ivf._fit_centroids``,
     ``pq.fit_pq_codebooks``), and the encode is the same deterministic
     Arrow kernel — so a serve against this artifact returns
-    bit-identical rows to the in-line path with the same knobs."""
+    bit-identical rows to the in-line path with the same knobs.
+
+    ``fit_on`` (r10): optionally fit centroids/codebooks on a DIFFERENT
+    relation than the one being encoded — the production regime where
+    the fit runs once on a standing corpus and later corpora are
+    encoded with the frozen books. It also makes append≡rebuild
+    testable at fixed codebooks: ``build(standing∪batch,
+    fit_on=standing)`` and ``build(standing, fit_on=standing)`` +
+    ``append_ann_index(batch)`` produce bit-identical artifacts."""
     import math
 
     from udacity_capstone_data_engineering_spark.operators.ivf import (
         _fit_centroids,
     )
     from udacity_capstone_data_engineering_spark.operators.pq import (
-        _encode_udf,
-        _probe1_cell_udf,
         fit_pq_codebooks,
-    )
-    from udacity_capstone_data_engineering_spark.operators.similarity import (
-        _unit_vectors,
-    )
-    from udacity_capstone_data_engineering_spark.sources.catalog import (
-        fan_out_small_scan,
     )
 
     spark = emb.sparkSession
     n = emb.count()
+    fit_src = emb if fit_on is None else fit_on
+    fit_n = n if fit_on is None else fit_src.count()
     if n_centroids is None:
         n_centroids = max(16, int(math.sqrt(max(n, 256))))
-    centers = _fit_centroids(emb, vec_col, n_centroids, seed, fit_sample, n=n)
+    centers = _fit_centroids(
+        fit_src, vec_col, n_centroids, seed, fit_sample, n=fit_n
+    )
     books = fit_pq_codebooks(
-        emb, vec_col, dim, m=m, ksub=ksub, seed=seed, sample=fit_sample, n=n
+        fit_src, vec_col, dim, m=m, ksub=ksub, seed=seed, sample=fit_sample,
+        n=fit_n,
     )
 
-    v = _unit_vectors(emb, id_col, vec_col).filter(F.col("uv").isNotNull())
-    encode = _encode_udf(books)
-    assign = _probe1_cell_udf(centers)
-    # fan out before the CPU-heavy encode/assign UDFs (the r8
-    # single-row-group skew fix); no-op at real scale.
-    coded = fan_out_small_scan(v).select(
-        F.col(id_col).alias("id"),
-        assign(F.col("uv")).cast("int").alias("cell"),
-        encode(F.col("uv")).alias("codes"),
-    )
-    coded.repartition("cell").write.mode("overwrite").parquet(f"{path}/codes")
+    _encode_to_cells(emb, id_col, vec_col, centers, books).repartition(
+        "cell"
+    ).write.mode("overwrite").parquet(f"{path}/codes")
 
     meta = {
         "n": n,
@@ -113,11 +111,6 @@ def build_ann_index(
         "seed": seed,
         "fit_sample": fit_sample,
     }
-    spark.createDataFrame(
-        [(n, dim, m, ksub, n_centroids, seed, fit_sample)],
-        "n long, dim int, m int, ksub int, n_centroids int, seed int, "
-        "fit_sample int",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
         "cid int, centroid array<double>",
@@ -130,7 +123,106 @@ def build_ann_index(
         ],
         "subspace int, code int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    # meta is written LAST: the build-if-absent serve gates treat its
+    # existence as build-complete, so it must act as a completion
+    # sentinel — an interrupted build must leave NO meta behind
+    # (ADVICE r9: meta-first left a half artifact serve rows accepted
+    # and then crashed on).
+    spark.createDataFrame(
+        [(n, dim, m, ksub, n_centroids, seed, fit_sample)],
+        "n long, dim int, m int, ksub int, n_centroids int, seed int, "
+        "fit_sample int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     return meta
+
+
+def _encode_to_cells(emb, id_col, vec_col, centers, books) -> DataFrame:
+    """``(id, cell, codes)`` for every valid vector of ``emb``, encoded
+    with the GIVEN (already-fit) centroids/codebooks — the shared
+    encode stage of build and append, so appended rows are bit-identical
+    to what a build with the same books would have written."""
+    from udacity_capstone_data_engineering_spark.operators.pq import (
+        _encode_udf,
+        _probe1_cell_udf,
+    )
+    from udacity_capstone_data_engineering_spark.operators.similarity import (
+        _unit_vectors,
+    )
+    from udacity_capstone_data_engineering_spark.sources.catalog import (
+        fan_out_small_scan,
+    )
+
+    v = _unit_vectors(emb, id_col, vec_col).filter(F.col("uv").isNotNull())
+    encode = _encode_udf(books)
+    assign = _probe1_cell_udf(centers)
+    # fan out before the CPU-heavy encode/assign UDFs (the r8
+    # single-row-group skew fix); no-op at real scale.
+    return fan_out_small_scan(v).select(
+        F.col(id_col).alias("id"),
+        assign(F.col("uv")).cast("int").alias("cell"),
+        encode(F.col("uv")).alias("codes"),
+    )
+
+
+def append_ann_index(
+    batch: DataFrame, id_col: str, vec_col: str, path: str
+) -> dict:
+    """Incrementally append a new-document batch to a persisted ANN
+    index (VERDICT r9 #2): encode the batch with the SAVED
+    centroids/codebooks — no refit, the semantic tier's incremental
+    pattern (``semdedup.py`` incremental path) applied to the vector
+    tier — append the coded rows to ``codes`` by cell, and bump
+    ``meta.n``. Returns the receipt dict
+    ``{n_old, n_batch, n_batch_coded, n_new}``.
+
+    Because the codebooks are frozen, append≡rebuild holds exactly:
+    with the same books, ``append(batch)`` writes the bit-identical
+    code rows a full rebuild over standing∪batch would have written
+    for those ids, so serve results are bit-identical too (pinned by
+    ``test_ann_index_append_equals_rebuild``). At 100 TB this is the
+    ingest path: per batch the work is one map-only encode of the
+    batch plus a cell-partitioned append — nothing touches the
+    standing codes, centroids, or codebooks.
+
+    The caller owns id-uniqueness (appending an id already in the
+    index duplicates it, exactly like inserting a duplicate row into
+    any table); the serve-side staleness guard
+    (``ann_topk_against_index``) compares ``meta.n`` against the
+    corpus count so a forgotten append — or a double one — is loud."""
+    spark = batch.sparkSession
+    centers, books, _codes, meta = load_ann_index(spark, path)
+    n_batch = batch.count()
+    coded = _encode_to_cells(batch, id_col, vec_col, centers, books)
+    coded.repartition("cell").write.mode("append").parquet(f"{path}/codes")
+    # valid-row count (NULL / zero-norm vectors have no direction to
+    # index); re-running the map-only encode on the batch is cheaper
+    # than diffing the standing code table
+    n_batch_coded = coded.count()
+    n_new = meta["n"] + n_batch
+    # meta rewrite is last (the completion sentinel): a crash mid-append
+    # leaves the old meta in place, and the staleness guard then flags
+    # the n/codes divergence on the next serve.
+    spark.createDataFrame(
+        [
+            (
+                n_new,
+                meta["dim"],
+                meta["m"],
+                meta["ksub"],
+                meta["n_centroids"],
+                meta["seed"],
+                meta["fit_sample"],
+            )
+        ],
+        "n long, dim int, m int, ksub int, n_centroids int, seed int, "
+        "fit_sample int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    return {
+        "n_old": meta["n"],
+        "n_batch": n_batch,
+        "n_batch_coded": n_batch_coded,
+        "n_new": n_new,
+    }
 
 
 def load_ann_index(spark, path: str):
@@ -178,6 +270,7 @@ def ann_topk_against_index(
     target_recall: float | None = 0.9,
     max_broadcast_bytes: int | None = None,
     queries: DataFrame | None = None,
+    staleness: str = "warn",
 ) -> DataFrame:
     """Serve IVF-PQ top-k from a PERSISTED index: no centroid fit, no
     codebook fit, no corpus re-encode — the serve path is load (two
@@ -190,8 +283,17 @@ def ann_topk_against_index(
     equivalence test pins against ``ivfpq_topk``). Knob auto-sizing
     (nprobe from the measured recall curve, rerank from the coupled
     budget law) uses the CORPUS COUNT SAVED IN META, so serving a
-    small batch still sizes for the index it scans."""
+    small batch still sizes for the index it scans.
+
+    ``staleness`` (VERDICT r9 #2): ``meta.n`` vs the corpus count —
+    divergence means the index predates an ingest (missing an
+    ``append_ann_index``) or an append ran twice, and vectors absent
+    from the index would silently never be RETURNED as neighbors.
+    ``'warn'`` (default) emits a UserWarning, ``'error'`` raises,
+    ``'ignore'`` for corpora that intentionally supersede the index
+    (e.g. a vector store carrying extra non-indexed columns/rows)."""
     import math
+    import warnings
 
     import numpy as np
 
@@ -219,6 +321,18 @@ def ann_topk_against_index(
     centers, books, codes, meta = load_ann_index(spark, path)
     n, m = meta["n"], meta["m"]
     n_centroids = meta["n_centroids"]
+    if staleness != "ignore":
+        corpus_n = emb.count()
+        if corpus_n != n:
+            msg = (
+                f"standing ANN index at {path} is stale: meta.n={n} but the "
+                f"corpus has {corpus_n} rows — run append_ann_index for the "
+                "missing batch (or rebuild); un-indexed vectors are never "
+                "returned as neighbors"
+            )
+            if staleness == "error":
+                raise ValueError(msg)
+            warnings.warn(msg, UserWarning, stacklevel=2)
     if nprobe is None:
         frac = probe_fraction_for_recall(target_recall)
         nprobe = max(4, math.ceil(n_centroids * frac))

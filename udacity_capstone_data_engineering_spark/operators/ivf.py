@@ -139,6 +139,13 @@ def _ivf_scan_candidates_udf(spark, centers, cell_ids, cell_mats, nprobe, take):
             hashlib.sha1(
                 b"".join(c.tobytes() for c in cell_ids)
             ).hexdigest(),
+            # cell_mats are payload too: digest them so a corpus whose
+            # ids and assignments coincide but whose vectors differ can
+            # never collide (same family of stale-payload bugs as the
+            # ivfpq/lsh keys, ADVICE r9)
+            hashlib.sha1(
+                b"".join(c.tobytes() for c in cell_mats)
+            ).hexdigest(),
         ),
         lambda: (cell_ids, cell_mats),
     )

@@ -352,6 +352,14 @@ def _ivfpq_candidates_udf(
             hashlib.sha1(
                 b"".join(c.tobytes() for c in cell_ids)
             ).hexdigest(),
+            # the codes are part of the payload and depend on (m, ksub)
+            # even when centers/cells are identical: without this digest
+            # a second ivfpq_topk in the same session with a different
+            # ksub would silently serve the first call's stale codes
+            # against the new LUTs (ADVICE r9)
+            hashlib.sha1(
+                b"".join(c.tobytes() for c in cell_codes)
+            ).hexdigest(),
         ),
         lambda: (cell_ids, cell_codes),
     )

@@ -301,16 +301,19 @@ def build_semantic_index(
         "n_standing": n_standing,
     }
     spark.createDataFrame(
-        [(k, iterations, scale, dim, n_standing)],
-        "k int, iterations int, scale long, dim int, n_standing long",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
-    spark.createDataFrame(
         [(i, list(c)) for i, c in enumerate(cents)],
         "cid int, centroid array<long>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     reps.repartition("cluster").write.mode("overwrite").parquet(
         f"{path}/representatives"
     )
+    # meta last: it is the completion sentinel the build-if-absent
+    # serve gates key on — an interrupted build must not leave a
+    # meta-bearing half artifact behind (ADVICE r9).
+    spark.createDataFrame(
+        [(k, iterations, scale, dim, n_standing)],
+        "k int, iterations int, scale long, dim int, n_standing long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     return meta
 
 

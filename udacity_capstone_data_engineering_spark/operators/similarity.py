@@ -721,6 +721,13 @@ def _lsh_scan_candidates_udf(
             n_tables,
             n_probes,
             hashlib.sha1(raw.tobytes()).hexdigest(),
+            # the bucket index is a function of the hash FAMILY, not just
+            # the corpus: same corpus + same table/probe counts with a
+            # different plane count (or seed) must not reuse a stale
+            # index keyed under the old family (ADVICE r9) — the corpus
+            # key matrix captures the family's effect on the payload
+            # exactly
+            hashlib.sha1(corpus_keys.tobytes()).hexdigest(),
         ),
         build,
     )

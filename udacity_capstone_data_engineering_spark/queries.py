@@ -1238,6 +1238,7 @@ from udacity_capstone_data_engineering_spark import queries_phase12  # noqa: E40
 from udacity_capstone_data_engineering_spark import queries_phase13  # noqa: E402,F401
 from udacity_capstone_data_engineering_spark import queries_phase14  # noqa: E402,F401
 from udacity_capstone_data_engineering_spark import queries_phase15  # noqa: E402,F401
+from udacity_capstone_data_engineering_spark import queries_phase16  # noqa: E402,F401
 
 
 @_register("dedup_clusters", _DEDUP_CLUSTERS_SQL)

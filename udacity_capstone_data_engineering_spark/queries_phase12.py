@@ -35,14 +35,45 @@ def artifact_base(spark, sf_dir: str, kind: str) -> str:
     concurrent sessions and different scale factors never share an
     artifact (a stale index from another corpus would serve wrong
     verdicts)."""
+    import hashlib
     import os
     import tempfile
 
     app_tag = spark.sparkContext.applicationId.replace("-", "_")
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    return os.path.join(
+    # the basename alone is ambiguous: two corpora under different
+    # roots both named "sf0.1" within one application must not share
+    # an artifact (ADVICE r9) — fold a digest of the FULL path in
+    full = os.path.abspath(sf_dir.rstrip("/"))
+    sf_tag = "%s_%s" % (
+        os.path.basename(full),
+        hashlib.sha1(full.encode()).hexdigest()[:8],
+    )
+    base = os.path.join(
         tempfile.gettempdir(), f"spark_{kind}_{app_tag}_{sf_tag}"
     )
+    _reap_at_exit(base)
+    return base
+
+
+_REAP: set[str] = set()
+
+
+def _reap_at_exit(path: str) -> None:
+    """Best-effort cleanup of session-scoped /tmp artifacts (ADVICE
+    r9: they were never cleaned up). appId-scoped dirs are useless to
+    any other process, so removing them at interpreter exit is safe."""
+    import atexit
+    import shutil
+
+    if path in _REAP:
+        return
+    if not _REAP:
+        atexit.register(
+            lambda: [
+                shutil.rmtree(p, ignore_errors=True) for p in sorted(_REAP)
+            ]
+        )
+    _REAP.add(path)
 
 
 @_register(

@@ -163,6 +163,79 @@ def ann_standing_serve(spark, sf_dir):
     )
 
 
+@_register(
+    "ann_index_append",
+    f"""
+    WITH standing AS (SELECT * FROM embeddings
+                      WHERE vec_id % {_SEM_INC_MOD} <> 0),
+         batch AS (SELECT * FROM embeddings
+                   WHERE vec_id % {_SEM_INC_MOD} = 0)
+    SELECT (SELECT COUNT(*) FROM standing) AS n_old,
+           (SELECT COUNT(*) FROM batch) AS n_batch,
+           (SELECT COUNT(*) FILTER (
+              WHERE embedding IS NOT NULL
+                AND len(list_filter(embedding, x -> x <> 0)) > 0
+            ) FROM batch) AS n_batch_coded,
+           (SELECT COUNT(*) FROM standing)
+             + (SELECT COUNT(*) FROM batch) AS n_new,
+           (SELECT COUNT(*) FILTER (
+              WHERE embedding IS NOT NULL
+                AND len(list_filter(embedding, x -> x <> 0)) > 0
+            ) FROM embeddings) AS n_codes_total
+    """,
+)
+def ann_index_append(spark, sf_dir):
+    """Incremental append to the standing ANN index (VERDICT r9 #2):
+    build on the standing corpus (9 in 10 ids), then APPEND the
+    incoming batch (1 in 10) with the frozen codebooks — encode-only
+    upsert into ``codes``, meta.n bumped, no refit of anything. The
+    receipt is recomputed end-to-end by the oracle: n_old and n_batch
+    from the id split, the coded counts from the valid-vector
+    predicate (NULL / all-zero vectors have no direction to index),
+    n_new = n_old + n_batch, and n_codes_total re-counted from the
+    artifact itself — so an append that dropped rows, double-wrote, or
+    forgot the meta bump hash-mismatches. Per batch the work is one
+    map-only encode plus a cell-partitioned append: the 100 TB ingest
+    shape (the standing codes/centroids/codebooks are never touched).
+    Uses its own artifact path (not the serve rows'), since this row
+    mutates the index."""
+    import shutil
+
+    from udacity_capstone_data_engineering_spark.operators.ann_index import (
+        append_ann_index,
+        build_ann_index,
+    )
+
+    emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
+    standing = emb.filter(F.col("vec_id") % _SEM_INC_MOD != 0)
+    batch = emb.filter(F.col("vec_id") % _SEM_INC_MOD == 0)
+    base = artifact_base(spark, sf_dir, "ann_index_inc")
+    shutil.rmtree(base, ignore_errors=True)
+    build_ann_index(
+        standing, "vec_id", "embedding", _ANN_DIM, base,
+        m=_ANN_M, ksub=_ANN_KSUB, fit_on=standing,
+    )
+    receipt = append_ann_index(batch, "vec_id", "embedding", base)
+    n_codes_total = spark.read.parquet(f"{base}/codes").count()
+    meta_n = (
+        spark.read.parquet(f"{base}/meta").head().asDict()["n"]
+    )
+    assert meta_n == receipt["n_new"]
+    return spark.createDataFrame(
+        [
+            (
+                receipt["n_old"],
+                receipt["n_batch"],
+                receipt["n_batch_coded"],
+                receipt["n_new"],
+                n_codes_total,
+            )
+        ],
+        "n_old long, n_batch long, n_batch_coded long, n_new long, "
+        "n_codes_total long",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Semantic index: the build half of the r8 row (VERDICT r8 #4)
 # ---------------------------------------------------------------------------

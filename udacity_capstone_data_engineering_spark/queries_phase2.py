@@ -1065,6 +1065,10 @@ def sink_roundtrip_partitioned(spark, sf_dir):
     SELECT 'ivf_jl' AS method,
            (SELECT COUNT(*) * 5 FROM embeddings) AS n_pairs,
            TRUE AS recall_ok
+    UNION ALL
+    SELECT 'ivfpq_standing' AS method,
+           (SELECT COUNT(*) * 5 FROM embeddings) AS n_pairs,
+           TRUE AS recall_ok
     """,
 )
 def ann_recall_report(spark, sf_dir):
@@ -1171,6 +1175,30 @@ def ann_recall_report(spark, sf_dir):
 
     lsh_jl = lsh_topk(proj, "vec_id", "embedding", dim=16, k=5)
     ivf_jl = ivf_topk(proj, "vec_id", "embedding", k=5)
+    # ivfpq_standing (VERDICT r9 #7): the serve-from-artifact path in
+    # the SAME hash-gated report everyone already watches, so index
+    # staleness or an artifact-format regression flips a red row here,
+    # not just in ann_standing_serve. Build-if-absent against the
+    # shared per-session artifact (bench runs ann_index_build first,
+    # so in the bench this is serve-only cost).
+    import os as _os
+
+    from udacity_capstone_data_engineering_spark.operators.ann_index import (
+        ann_topk_against_index,
+        build_ann_index,
+    )
+    from udacity_capstone_data_engineering_spark.queries_phase12 import (
+        artifact_base,
+    )
+
+    standing_base = artifact_base(spark, sf_dir, "ann_index")
+    if not _os.path.exists(_os.path.join(standing_base, "meta")):
+        build_ann_index(
+            emb, "vec_id", "embedding", 64, standing_base, m=8, ksub=256
+        )
+    ivfpq_standing = ann_topk_against_index(
+        emb, "vec_id", "embedding", standing_base, k=5
+    )
     return (
         method_row("lsh", lsh)
         .unionAll(method_row("ivf", ivf))
@@ -1180,4 +1208,5 @@ def ann_recall_report(spark, sf_dir):
         .unionAll(method_row("ivfpq_auto", ivfpq_auto, bound=0.9))
         .unionAll(jl_row("lsh_jl", lsh_jl))
         .unionAll(jl_row("ivf_jl", ivf_jl))
+        .unionAll(method_row("ivfpq_standing", ivfpq_standing, bound=0.9))
     )

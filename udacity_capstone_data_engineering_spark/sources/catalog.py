@@ -121,10 +121,38 @@ def fan_out_small_scan(df: DataFrame, min_partitions: int | None = None) -> Data
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     n_parts = df.rdd.getNumPartitions()
-    single_file_splits = n_parts > 1 and len(df.inputFiles()) == 1
+    single_file_splits = False
+    if n_parts > 1:
+        files = df.inputFiles()
+        # ADVICE r9: only the single-file single-ROW-GROUP layout has
+        # the N-1-empty skew — a large single file with many row groups
+        # distributes rows across splits fine and must not pay a full
+        # round-robin shuffle. The footer row-group count is cheap
+        # driver-side metadata; if it can't be read (non-local scheme,
+        # non-parquet) we keep the conservative repartition.
+        if len(files) == 1:
+            single_file_splits = _row_groups_in(files[0]) in (None, 1)
     if n_parts < target or single_file_splits:
         return df.repartition(target)
     return df
+
+
+def _row_groups_in(uri: str) -> int | None:
+    """Row-group count from a parquet footer, or ``None`` when the
+    footer isn't locally readable (remote scheme, non-parquet)."""
+    try:
+        import pyarrow.parquet as pq
+
+        path = uri
+        if path.startswith("file:"):
+            from urllib.parse import urlparse
+
+            path = urlparse(path).path
+        elif "://" in path:
+            return None
+        return pq.ParquetFile(path).metadata.num_row_groups
+    except Exception:
+        return None
 
 
 def materialize_partitioned(
