@@ -49,12 +49,19 @@ K = 4
 ITERATIONS = 3
 SCALE = 1024
 # Above this k, nearest-centroid assignment switches from the literal
-# expression plan (O(k*d) Catalyst nodes — fine for the served oracle
-# rows at k<=32, pathological at SemDeDup-scale k~n/64) to an Arrow
-# kernel over broadcast int64 centroids. Both regimes compute the SAME
+# expression plan (O(k*d) Catalyst nodes) to an Arrow kernel over
+# broadcast int64 centroids. Both regimes compute the SAME
 # exact-integer recurrence and are bit-equal (test_kmeans_assign_regimes
 # pins it on a straddle pair), so the oracle story is regime-blind.
-ASSIGN_KERNEL_MIN_K = 64
+# r10: boundary lowered 64 -> 16. The literal plan at k~32, d=64 is a
+# ~2048-node expression tree re-analyzed/codegen'd per Lloyd iteration
+# — measured DRIVER-bound 20-63 s with 2x run-to-run variance on the
+# sf0.1 semantic rows, vs 8-14 s stable through the kernel
+# (semantic_dedup_autok 62.7 -> 8.0 s, semantic_dedup_index_build
+# 28.6 -> 14.0 s, fresh-session bench protocol). k <= 16 keeps the
+# oracle demo rows (k=4) on the pure-JVM literal plan the no-Python-UDF
+# plan guard pins.
+ASSIGN_KERNEL_MIN_K = 16
 
 
 def _quantize(vecs: DataFrame, id_col: str, vec_col: str, scale: int) -> DataFrame:
