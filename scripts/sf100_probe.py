@@ -14,14 +14,18 @@ is ~10× the sf10 wall and measures nothing new, so this decade holds
 the batch at 2k and reports per-query cost alongside wall. Recall@5 is
 graded against an exact chunked-numpy truth restricted to the batch.
 
-Cells: lsh (auto knobs — the 32-table cap rung), ivfpq (auto), pq (at
-its 0.95 default target). Regime classification comes from the
-operators' own byte thresholds: at 2M the raw matrix (1 GiB) is past
-the 256 MiB broadcast cap, so LSH runs its bucket-JOIN path — this
-probe is that handoff's first measured cell — while PQ/IVF-PQ codes
-(32 MiB) stay broadcast.
+Default cells: ivfpq (auto), pq (at its 0.95 default target) — both
+in the broadcast-codes regime (32 MiB at 2M). The lsh cell is
+SELECTABLE but not default, and its first run IS the probe's headline
+finding (r10): at 2M the raw matrix (1 GiB) is past the 256 MiB
+broadcast cap, so LSH drops to its bucket-JOIN path, whose
+pair-scoring join ships unit vectors instead of ids — measured >60 GB
+of shuffle spill at 2k queries before exhausting local disk. That
+measurement moved the dispatch facade's LSH handoff from the 32-table
+recall cap (~2M) to the broadcast byte cap (~500k at dim 64):
+``operators/ann.py:_lsh_kernel_max_n``.
 
-Usage: python scripts/sf100_probe.py [cell ...]   (default: all)
+Usage: python scripts/sf100_probe.py [cell ...]   (default: ivfpq pq)
 Writes one JSON line per cell; paste into SCALING.md.
 """
 
@@ -101,7 +105,6 @@ def main() -> None:
     )
 
     cells = [a for a in sys.argv[1:] if not a.startswith("-")] or [
-        "lsh",
         "ivfpq",
         "pq",
     ]

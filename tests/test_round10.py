@@ -260,14 +260,22 @@ class TestAnnDispatchFacade:
     def test_choice_table(self, tmp_path):
         from udacity_capstone_data_engineering_spark.operators.ann import (
             LSH_DISPATCH_MAX_N,
+            _lsh_kernel_max_n,
             choose_ann_tier,
         )
 
         assert choose_ann_tier(2_000, 0.9) == "lsh"
-        assert choose_ann_tier(LSH_DISPATCH_MAX_N, 0.9) == "lsh"
+        # the LSH region ends at the broadcast-kernel byte cap for the
+        # dim (~500k at dim 64, measured at the third decade: the join
+        # regime past it spilled >60 GB at 2M vectors), and at the
+        # 32-table recall cap for small dims
+        cap64 = _lsh_kernel_max_n(64)
+        assert choose_ann_tier(cap64, 0.9, dim=64) == "lsh"
+        assert choose_ann_tier(cap64 + 1, 0.9, dim=64) == "ivfpq"
+        assert choose_ann_tier(2_000_000, 0.9, dim=16) == "lsh"
+        assert choose_ann_tier(LSH_DISPATCH_MAX_N + 1, 0.9, dim=16) == "ivfpq"
         assert choose_ann_tier(2_000, 0.99) == "ivf"
-        assert choose_ann_tier(LSH_DISPATCH_MAX_N + 1, 0.9) == "ivfpq"
-        assert choose_ann_tier(LSH_DISPATCH_MAX_N + 1, 0.99) == "ivfpq"
+        assert choose_ann_tier(cap64 + 1, 0.99, dim=64) == "ivfpq"
         # artifact wins — but only a COMPLETE one (meta sentinel)
         idx = tmp_path / "idx"
         (idx / "codes").mkdir(parents=True)

@@ -15,22 +15,23 @@ decade grids, not a guess):
                               (the r8 sf10 probe measured ~10 min/call
                               of re-paid fit at 200k vectors), recall
                               from the same nprobe/rerank laws.
-    n ≤ LSH_DISPATCH_MAX_N    ``lsh`` — the auto table ladder
-    and target ≤ 0.97         (``auto_lsh_tables``: L ~ n^0.22, capped
-                              at 32 tables ≈ 2M vectors) holds recall
-                              0.95-0.97 through the measured decades
-                              (0.9699 at 200k, SCALING.md r9) with the
-                              cheapest candidate generation of the
-                              tiers.
-    n ≤ LSH_DISPATCH_MAX_N    ``ivf`` — exact scan of probed cells;
-    and target > 0.97         the 7/8 probe fraction measured 0.97+
+    n within LSH's broadcast  ``lsh`` — the auto table ladder
+    kernel regime (raw bytes  (``auto_lsh_tables``: L ~ n^0.22) holds
+    ≤ score cap: ~500k @ d64) recall 0.95-0.97 through the measured
+    and target ≤ 0.97         decades (0.9699 at 200k, SCALING.md r9)
+                              with the cheapest candidate generation
+                              of the tiers.
+    same region,              ``ivf`` — exact scan of probed cells;
+    target > 0.97             the 7/8 probe fraction measured 0.97+
                               (``probe_fraction_for_recall``), which
                               the capped LSH ladder cannot promise.
-    n > LSH_DISPATCH_MAX_N    ``ivfpq`` — past the LSH table cap the
-                              recall-targeted tier is IVF-PQ: codes are
-                              64× smaller than vectors (m=8 bytes +
-                              id), the broadcast-vs-cell-sharded regime
-                              switch is byte-cap driven inside
+    past either LSH cap       ``ivfpq`` — measured at the third decade
+    (byte cap ~500k @ d64,    (r10): past the byte cap LSH's join
+    table cap 2M)             regime shipped vectors through the pair
+                              join and spilled >60 GB at 2M vectors,
+                              while IVF-PQ codes (64× smaller) stay
+                              broadcast; the broadcast-vs-cell-sharded
+                              regime switch is byte-cap driven inside
                               ``ivfpq_topk``, and rerank follows the
                               measured √n iso-recall contour.
     ========================  =========================================
@@ -54,7 +55,7 @@ from pyspark.sql import DataFrame
 
 # auto_lsh_tables caps at 32 tables, the rung its measured n^0.22
 # ladder reaches at ~2M vectors — past this LSH recall can no longer
-# be bought with tables and the recall-targeted tier is IVF-PQ.
+# be bought with tables.
 LSH_DISPATCH_MAX_N = 2_000_000
 
 # the highest recall the capped LSH ladder is measured to deliver at
@@ -65,20 +66,39 @@ LSH_DISPATCH_MAX_RECALL = 0.97
 _MODES = ("auto", "lsh", "ivf", "pq", "ivfpq", "standing", "exact")
 
 
+def _lsh_kernel_max_n(dim: int) -> int:
+    """The corpus size where LSH falls out of its broadcast-kernel
+    regime: raw matrix bytes (n·dim·8) at the score-broadcast cap —
+    ~500k vectors at dim 64. MEASURED to matter at the third decade
+    (r10, ``scripts/sf100_probe.py``): past the cap LSH drops to the
+    bucket-JOIN path, whose pair-scoring join ships unit vectors
+    instead of ids and spilled >60 GB of shuffle at 2M vectors ×
+    2k queries before exhausting local disk — while IVF-PQ's codes
+    (n·16 bytes, 64× smaller) stay broadcast to 16M vectors. The LSH
+    handoff is therefore the BYTE cap, not the 32-table recall cap."""
+    from udacity_capstone_data_engineering_spark.operators.similarity import (
+        BROADCAST_SCORE_MAX_BYTES,
+    )
+
+    return BROADCAST_SCORE_MAX_BYTES // (8 * max(dim, 1))
+
+
 def choose_ann_tier(
     n: int,
     target_recall: float | None = 0.9,
     index_path: str | None = None,
+    dim: int = 64,
 ) -> str:
     """The dispatch decision alone (pure, unit-testable): tier name
-    for a corpus of ``n`` vectors, a recall target, and an optional
-    persisted-artifact path. See the module docstring's choice table."""
+    for a corpus of ``n`` vectors of ``dim`` dims, a recall target,
+    and an optional persisted-artifact path. See the module
+    docstring's choice table."""
     if index_path is not None and os.path.exists(
         os.path.join(index_path, "meta")
     ):
         return "standing"
     t = 0.9 if target_recall is None else target_recall
-    if n <= LSH_DISPATCH_MAX_N:
+    if n <= min(LSH_DISPATCH_MAX_N, _lsh_kernel_max_n(dim)):
         return "lsh" if t <= LSH_DISPATCH_MAX_RECALL else "ivf"
     return "ivfpq"
 
@@ -110,7 +130,7 @@ def ann_topk(
     tier = mode
     if mode == "auto":
         tier = choose_ann_tier(
-            emb.count(), target_recall, index_path=index_path
+            emb.count(), target_recall, index_path=index_path, dim=dim
         )
     if tier == "standing":
         from udacity_capstone_data_engineering_spark.operators.ann_index import (
