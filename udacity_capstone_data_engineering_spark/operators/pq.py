@@ -365,27 +365,75 @@ def _ivfpq_candidates_udf(
     )
 
     def cand(v):
+        # CELL-MAJOR scan (r10): the old per-query loop concatenated
+        # the query's ~nprobe probed cells' arrays per query — at the
+        # third-decade probe (2M vectors, nprobe≈1060) that is ~1M
+        # python-level concatenations per 1k queries, enough gather
+        # overhead that IVF-PQ measured SLOWER than flat PQ despite
+        # scanning 25% less (SCALING.md r10). Looping over CELLS
+        # instead (the ivf._ivf_scan_candidates_udf structure) scores
+        # each cell once for all the queries probing it as one
+        # (nq_c × |cell|) fancy-indexed LUT gather, chunked on the
+        # cell axis so the buffer stays under ADC_CHUNK_ELEMS; each
+        # chunk emits its per-query top-``rerank`` partials and one
+        # global lexsort merges them. Selection is SET- and
+        # ORDER-identical to the per-query path: per-element ADC
+        # scores accumulate in the same s-major order over the same
+        # einsum LUTs (bit-identical), per-chunk stable argsorts over
+        # the id-sorted cell storage break ties toward the lower id,
+        # and the merge key is the same (query, score desc, id asc).
         cell_ids, cell_codes = bc.value
         x = np.vstack(v.to_numpy())
+        nq = len(x)
+        n_cells = len(cell_ids)
         cell_scores = x @ centers.T - correction
         take_cells = min(nprobe, cell_scores.shape[1])
         probed = np.argsort(-cell_scores, axis=1, kind="stable")[:, :take_cells]
+        mask = np.zeros((nq, n_cells), dtype=bool)
+        np.put_along_axis(mask, probed, True, axis=1)
         # batch-level shape-invariant LUTs (same einsum kernel as the
         # sharded grid — ADVICE r4: per-query dgemv here vs the shard
         # path's dgemm could differ in the last ulp)
         luts = _query_luts(x, books)
-        out = []
-        for qi in range(len(x)):
-            ids = np.concatenate([cell_ids[c] for c in probed[qi]])
-            codes = np.concatenate([cell_codes[c] for c in probed[qi]])
-            scores = np.zeros(len(ids), dtype=np.float64)
-            for s in range(m):
-                scores += luts[s][qi][codes[:, s]]
-            # candidates ordered by (score desc, id asc): sort ids first
-            order = np.argsort(ids, kind="stable")
-            ids, scores = ids[order], scores[order]
-            top = np.argsort(-scores, kind="stable")[: min(rerank, len(ids))]
-            out.append(ids[top])
+        qpos_parts, id_parts, score_parts = [], [], []
+        for c in range(n_cells):
+            ids_c = cell_ids[c]
+            if not len(ids_c):
+                continue
+            qidx = np.nonzero(mask[:, c])[0]
+            if not len(qidx):
+                continue
+            codes_c = cell_codes[c]
+            qluts = [luts[s][qidx] for s in range(m)]
+            chunk = max(256, ADC_CHUNK_ELEMS // max(len(qidx), 1))
+            for lo in range(0, len(ids_c), chunk):
+                hi = min(lo + chunk, len(ids_c))
+                scores = qluts[0][:, codes_c[lo:hi, 0]].copy()
+                for s in range(1, m):
+                    scores += qluts[s][:, codes_c[lo:hi, s]]
+                w = min(rerank, hi - lo)
+                top = np.argsort(-scores, axis=1, kind="stable")[:, :w]
+                qpos_parts.append(np.repeat(qidx, w))
+                id_parts.append(ids_c[lo:hi][top].ravel())
+                score_parts.append(
+                    np.take_along_axis(scores, top, axis=1).ravel()
+                )
+        empty = np.zeros(0, dtype=np.int64)
+        if not qpos_parts:
+            return pd.Series([empty] * nq)
+        qpos = np.concatenate(qpos_parts)
+        cids = np.concatenate(id_parts)
+        cscores = np.concatenate(score_parts)
+        order = np.lexsort((cids, -cscores, qpos))
+        qpos, cids = qpos[order], cids[order]
+        starts = np.searchsorted(qpos, np.arange(nq), side="left")
+        ends = np.searchsorted(qpos, np.arange(nq), side="right")
+        out = [
+            cids[starts[qi] : min(ends[qi], starts[qi] + rerank)]
+            if ends[qi] > starts[qi]
+            else empty
+            for qi in range(nq)
+        ]
         return pd.Series(out)
 
     # .asNondeterministic() is an OPTIMIZER FENCE, not a semantics
