@@ -467,3 +467,47 @@ class TestCatalogRowsRound10:
         assert len(pdf) == len(want)
         for c in pdf.columns:
             assert pdf[c].astype(str).tolist() == want[c].astype(str).tolist(), c
+
+
+class TestBenchLoadGuard:
+    """VERDICT r9 #1: bench.py must not stamp a clean record on a
+    loaded host — it waits, then marks the record load_tainted."""
+
+    def _bench(self):
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "bench_under_test",
+            os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_quiet_host_not_tainted(self, monkeypatch):
+        bench = self._bench()
+        monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.5, 0.5, 0.5))
+        monkeypatch.setenv("SPARK_GRAFT_LOAD_MAX", "3.0")
+        assert bench._load_guard() is False
+
+    def test_loaded_host_waits_then_taints(self, monkeypatch):
+        bench = self._bench()
+        loads = iter([(9.0,) * 3, (8.0,) * 3, (7.0,) * 3])
+        monkeypatch.setattr(
+            bench.os, "getloadavg", lambda: next(loads, (7.0,) * 3)
+        )
+        monkeypatch.setenv("SPARK_GRAFT_LOAD_MAX", "3.0")
+        monkeypatch.setenv("SPARK_GRAFT_LOAD_WAIT", "0")
+        assert bench._load_guard() is True
+
+    def test_load_decays_below_bar_returns_clean(self, monkeypatch):
+        bench = self._bench()
+        loads = iter([(9.0,) * 3, (1.0,) * 3])
+        monkeypatch.setattr(
+            bench.os, "getloadavg", lambda: next(loads, (1.0,) * 3)
+        )
+        monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+        monkeypatch.setenv("SPARK_GRAFT_LOAD_MAX", "3.0")
+        monkeypatch.setenv("SPARK_GRAFT_LOAD_WAIT", "600")
+        assert bench._load_guard() is False
