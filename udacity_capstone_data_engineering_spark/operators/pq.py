@@ -320,6 +320,119 @@ def _adc_candidates_udf(spark, books, ids, codes, rerank: int):
     return pandas_udf(cand, "array<long>").asNondeterministic()
 
 
+def _compact_candidate_partials(qpos, cids, cscores, nq, rerank):
+    """Reduce accumulated (query, id, score) candidate partials to each
+    query's top-``rerank`` by the merge key (query, score desc, id asc)
+    — the SAME lexsort the final emission uses, so compacting
+    mid-accumulation is lossless for the final per-query top-``rerank``
+    (every dropped row is beaten by ``rerank`` kept rows of its own
+    query under the exact final ordering; (query, id) pairs are unique
+    because cells partition ids and a query probes a cell once).
+    Returns the compacted (qpos, cids, cscores), sorted by the key."""
+    import numpy as np
+
+    order = np.lexsort((cids, -cscores, qpos))
+    qpos, cids, cscores = qpos[order], cids[order], cscores[order]
+    starts = np.searchsorted(qpos, np.arange(nq), side="left")
+    rank = np.arange(len(qpos)) - starts[qpos]
+    keep = rank < rerank
+    return qpos[keep], cids[keep], cscores[keep]
+
+
+def _cell_major_candidates(
+    x, centers, books, cell_ids, cell_codes, nprobe, rerank,
+    compact_elems=None,
+):
+    """CELL-MAJOR ADC scan over a query batch (r10): probe each query's
+    ``nprobe`` nearest cells, score each cell once for ALL the queries
+    probing it as one fancy-indexed LUT gather (chunked on the cell
+    axis under ``ADC_CHUNK_ELEMS``), keep per-chunk top-``rerank``
+    partials, and merge with one (query, score desc, id asc) lexsort.
+    Selection- and order-identical to the old per-query loop (see the
+    r10 notes in SCALING.md).
+
+    ``compact_elems`` (ADVICE r10, the memory bound): whenever the
+    accumulated partial count exceeds this many elements, compact to
+    per-query top-``rerank`` via :func:`_compact_candidate_partials`
+    — without it the partials grow O(nq_batch · probe_fraction · n)
+    (a 10k-query Arrow batch at n=8M probing 3/4 of cells would
+    accumulate tens of GB before the final lexsort), while the
+    compacted floor is nq·rerank. Defaults to ``ADC_CHUNK_ELEMS``.
+    Compaction is lossless (same merge key), pinned by
+    ``test_cell_major_compaction_lossless``.
+
+    Returns a list of ``nq`` int64 id arrays (each ≤ ``rerank``)."""
+    import numpy as np
+
+    if compact_elems is None:
+        compact_elems = ADC_CHUNK_ELEMS
+    m = books.shape[0]
+    correction = 0.5 * (centers * centers).sum(axis=1)
+    nq = len(x)
+    n_cells = len(cell_ids)
+    cell_scores = x @ centers.T - correction
+    take_cells = min(nprobe, cell_scores.shape[1])
+    probed = np.argsort(-cell_scores, axis=1, kind="stable")[:, :take_cells]
+    mask = np.zeros((nq, n_cells), dtype=bool)
+    np.put_along_axis(mask, probed, True, axis=1)
+    # batch-level shape-invariant LUTs (same einsum kernel as the
+    # sharded grid — ADVICE r4: per-query dgemv here vs the shard
+    # path's dgemm could differ in the last ulp)
+    luts = _query_luts(x, books)
+    qpos_parts, id_parts, score_parts = [], [], []
+    acc_elems = 0
+    empty = np.zeros(0, dtype=np.int64)
+    empty_f = np.zeros(0, dtype=np.float64)
+    for c in range(n_cells):
+        ids_c = cell_ids[c]
+        if not len(ids_c):
+            continue
+        qidx = np.nonzero(mask[:, c])[0]
+        if not len(qidx):
+            continue
+        codes_c = cell_codes[c]
+        qluts = [luts[s][qidx] for s in range(m)]
+        chunk = max(256, ADC_CHUNK_ELEMS // max(len(qidx), 1))
+        for lo in range(0, len(ids_c), chunk):
+            hi = min(lo + chunk, len(ids_c))
+            scores = qluts[0][:, codes_c[lo:hi, 0]].copy()
+            for s in range(1, m):
+                scores += qluts[s][:, codes_c[lo:hi, s]]
+            w = min(rerank, hi - lo)
+            top = np.argsort(-scores, axis=1, kind="stable")[:, :w]
+            qpos_parts.append(np.repeat(qidx, w))
+            id_parts.append(ids_c[lo:hi][top].ravel())
+            score_parts.append(
+                np.take_along_axis(scores, top, axis=1).ravel()
+            )
+            acc_elems += len(qidx) * w
+            if acc_elems > compact_elems:
+                qp, ci, cs = _compact_candidate_partials(
+                    np.concatenate(qpos_parts),
+                    np.concatenate(id_parts),
+                    np.concatenate(score_parts),
+                    nq,
+                    rerank,
+                )
+                qpos_parts, id_parts, score_parts = [qp], [ci], [cs]
+                acc_elems = len(qp)
+    if not qpos_parts:
+        return [empty] * nq
+    qpos, cids, _ = _compact_candidate_partials(
+        np.concatenate(qpos_parts),
+        np.concatenate(id_parts),
+        np.concatenate(score_parts) if score_parts else empty_f,
+        nq,
+        rerank,
+    )
+    starts = np.searchsorted(qpos, np.arange(nq), side="left")
+    ends = np.searchsorted(qpos, np.arange(nq), side="right")
+    return [
+        cids[starts[qi] : ends[qi]] if ends[qi] > starts[qi] else empty
+        for qi in range(nq)
+    ]
+
+
 def _ivfpq_candidates_udf(
     spark, centers, books, cell_ids, cell_codes, nprobe, rerank
 ):
@@ -339,8 +452,6 @@ def _ivfpq_candidates_udf(
         _cached_broadcast,
     )
 
-    m, _k, dsub = books.shape
-    correction = 0.5 * (centers * centers).sum(axis=1)
     bc = _cached_broadcast(
         spark,
         (
@@ -370,71 +481,20 @@ def _ivfpq_candidates_udf(
         # third-decade probe (2M vectors, nprobe≈1060) that is ~1M
         # python-level concatenations per 1k queries, enough gather
         # overhead that IVF-PQ measured SLOWER than flat PQ despite
-        # scanning 25% less (SCALING.md r10). Looping over CELLS
-        # instead (the ivf._ivf_scan_candidates_udf structure) scores
-        # each cell once for all the queries probing it as one
-        # (nq_c × |cell|) fancy-indexed LUT gather, chunked on the
-        # cell axis so the buffer stays under ADC_CHUNK_ELEMS; each
-        # chunk emits its per-query top-``rerank`` partials and one
-        # global lexsort merges them. Selection is SET- and
-        # ORDER-identical to the per-query path: per-element ADC
-        # scores accumulate in the same s-major order over the same
-        # einsum LUTs (bit-identical), per-chunk stable argsorts over
-        # the id-sorted cell storage break ties toward the lower id,
-        # and the merge key is the same (query, score desc, id asc).
+        # scanning 25% less (SCALING.md r10). The cell-major body
+        # (one fancy-indexed LUT gather per cell for all the queries
+        # probing it, chunked, partials merged by lexsort, accumulation
+        # BOUNDED by running compaction — ADVICE r10) lives in
+        # _cell_major_candidates; selection is SET- and ORDER-identical
+        # to the per-query path (same einsum LUTs, same s-major
+        # accumulation order, same (query, score desc, id asc) key).
         cell_ids, cell_codes = bc.value
         x = np.vstack(v.to_numpy())
-        nq = len(x)
-        n_cells = len(cell_ids)
-        cell_scores = x @ centers.T - correction
-        take_cells = min(nprobe, cell_scores.shape[1])
-        probed = np.argsort(-cell_scores, axis=1, kind="stable")[:, :take_cells]
-        mask = np.zeros((nq, n_cells), dtype=bool)
-        np.put_along_axis(mask, probed, True, axis=1)
-        # batch-level shape-invariant LUTs (same einsum kernel as the
-        # sharded grid — ADVICE r4: per-query dgemv here vs the shard
-        # path's dgemm could differ in the last ulp)
-        luts = _query_luts(x, books)
-        qpos_parts, id_parts, score_parts = [], [], []
-        for c in range(n_cells):
-            ids_c = cell_ids[c]
-            if not len(ids_c):
-                continue
-            qidx = np.nonzero(mask[:, c])[0]
-            if not len(qidx):
-                continue
-            codes_c = cell_codes[c]
-            qluts = [luts[s][qidx] for s in range(m)]
-            chunk = max(256, ADC_CHUNK_ELEMS // max(len(qidx), 1))
-            for lo in range(0, len(ids_c), chunk):
-                hi = min(lo + chunk, len(ids_c))
-                scores = qluts[0][:, codes_c[lo:hi, 0]].copy()
-                for s in range(1, m):
-                    scores += qluts[s][:, codes_c[lo:hi, s]]
-                w = min(rerank, hi - lo)
-                top = np.argsort(-scores, axis=1, kind="stable")[:, :w]
-                qpos_parts.append(np.repeat(qidx, w))
-                id_parts.append(ids_c[lo:hi][top].ravel())
-                score_parts.append(
-                    np.take_along_axis(scores, top, axis=1).ravel()
-                )
-        empty = np.zeros(0, dtype=np.int64)
-        if not qpos_parts:
-            return pd.Series([empty] * nq)
-        qpos = np.concatenate(qpos_parts)
-        cids = np.concatenate(id_parts)
-        cscores = np.concatenate(score_parts)
-        order = np.lexsort((cids, -cscores, qpos))
-        qpos, cids = qpos[order], cids[order]
-        starts = np.searchsorted(qpos, np.arange(nq), side="left")
-        ends = np.searchsorted(qpos, np.arange(nq), side="right")
-        out = [
-            cids[starts[qi] : min(ends[qi], starts[qi] + rerank)]
-            if ends[qi] > starts[qi]
-            else empty
-            for qi in range(nq)
-        ]
-        return pd.Series(out)
+        return pd.Series(
+            _cell_major_candidates(
+                x, centers, books, cell_ids, cell_codes, nprobe, rerank
+            )
+        )
 
     # .asNondeterministic() is an OPTIMIZER FENCE, not a semantics
     # change (the kernel is seeded/deterministic): without it,
