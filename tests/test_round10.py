@@ -271,11 +271,18 @@ class TestAnnDispatchFacade:
         # 32-table recall cap for small dims
         cap64 = _lsh_kernel_max_n(64)
         assert choose_ann_tier(cap64, 0.9, dim=64) == "lsh"
-        assert choose_ann_tier(cap64 + 1, 0.9, dim=64) == "ivfpq"
+        # past the LSH region the r11 dispatch law splits on the probe
+        # fraction the recall target implies (r10 2M measurement: flat
+        # PQ beat IVF-PQ at the 3/4 fraction on wall AND recall) —
+        # targets > 0.85 (fraction ≥ 3/4) go flat pq, lower targets
+        # keep the cell filter
+        assert choose_ann_tier(cap64 + 1, 0.9, dim=64) == "pq"
         assert choose_ann_tier(2_000_000, 0.9, dim=16) == "lsh"
-        assert choose_ann_tier(LSH_DISPATCH_MAX_N + 1, 0.9, dim=16) == "ivfpq"
+        assert choose_ann_tier(LSH_DISPATCH_MAX_N + 1, 0.9, dim=16) == "pq"
         assert choose_ann_tier(2_000, 0.99) == "ivf"
-        assert choose_ann_tier(cap64 + 1, 0.99, dim=64) == "ivfpq"
+        assert choose_ann_tier(cap64 + 1, 0.99, dim=64) == "pq"
+        assert choose_ann_tier(cap64 + 1, 0.85, dim=64) == "ivfpq"
+        assert choose_ann_tier(cap64 + 1, 0.66, dim=64) == "ivfpq"
         # artifact wins — but only a COMPLETE one (meta sentinel)
         idx = tmp_path / "idx"
         (idx / "codes").mkdir(parents=True)

@@ -25,11 +25,22 @@ decade grids, not a guess):
     target > 0.97             the 7/8 probe fraction measured 0.97+
                               (``probe_fraction_for_recall``), which
                               the capped LSH ladder cannot promise.
-    past either LSH cap       ``ivfpq`` — measured at the third decade
-    (byte cap ~500k @ d64,    (r10): past the byte cap LSH's join
-    table cap 2M)             regime shipped vectors through the pair
-                              join and spilled >60 GB at 2M vectors,
-                              while IVF-PQ codes (64× smaller) stay
+    past either LSH cap,      ``pq`` — MEASURED at the third decade
+    probe fraction ≥ 3/4      (r10, 2M-vector cell): at the 3/4 probe
+    (targets > 0.85)          fraction flat PQ beat IVF-PQ on wall
+                              (1723 s vs 2002 s) AND recall (0.9610
+                              vs 0.9381) — the cell filter only wins
+                              when nprobe/cells is small, because at
+                              high fractions the per-cell LUT gathers
+                              cost what the flat tournament costs
+                              while still paying cell bookkeeping.
+    past either LSH cap,      ``ivfpq`` — the cell filter's regime:
+    probe fraction < 3/4      per-query scan cost ~n·nprobe/cells;
+    (targets ≤ 0.85;          past the byte cap LSH's join regime
+    byte cap ~500k @ d64,
+    table cap 2M)             shipped vectors through the pair join
+                              and spilled >60 GB at 2M vectors, while
+                              IVF-PQ codes (64× smaller) stay
                               broadcast; the broadcast-vs-cell-sharded
                               regime switch is byte-cap driven inside
                               ``ivfpq_topk``, and rerank follows the
@@ -83,23 +94,61 @@ def _lsh_kernel_max_n(dim: int) -> int:
     return BROADCAST_SCORE_MAX_BYTES // (8 * max(dim, 1))
 
 
+# Probed-cell fraction at or above which flat PQ replaces IVF-PQ past
+# the LSH caps — the r10 third-decade MEASUREMENT (2M vectors, 2k
+# queries): at 3/4 probed, pq 1723 s / recall 0.9610 vs ivfpq 2002 s /
+# 0.9381. The IVF filter only pays when nprobe/cells is small.
+PQ_FLAT_MIN_PROBE_FRACTION = 0.75
+
+
+def _index_complete(spark, index_path: str) -> bool:
+    """Build-complete test for a ``build_ann_index`` artifact: does the
+    ``meta`` completion sentinel exist? Resolved through the Hadoop
+    FileSystem API so the check honors whatever filesystem the path
+    names (hdfs://, s3a://, file:) — ADVICE r10: a driver-local
+    ``os.path.exists`` silently ignored a valid remote index and auto
+    mode re-fit every call. Falls back to the local check if the JVM
+    gateway is unavailable (plain-python unit contexts)."""
+    try:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(index_path.rstrip("/") + "/meta")
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(p))
+    except Exception:
+        return os.path.exists(os.path.join(index_path, "meta"))
+
+
 def choose_ann_tier(
     n: int,
     target_recall: float | None = 0.9,
     index_path: str | None = None,
     dim: int = 64,
+    index_complete: bool | None = None,
 ) -> str:
     """The dispatch decision alone (pure, unit-testable): tier name
     for a corpus of ``n`` vectors of ``dim`` dims, a recall target,
     and an optional persisted-artifact path. See the module
-    docstring's choice table."""
-    if index_path is not None and os.path.exists(
-        os.path.join(index_path, "meta")
-    ):
-        return "standing"
+    docstring's choice table.
+
+    ``index_complete``: the artifact-completeness verdict, when the
+    caller already resolved it (``ann_topk`` resolves through the
+    Hadoop FileSystem API — ADVICE r10); ``None`` falls back to a
+    DRIVER-LOCAL ``os.path.exists``, which is only correct for local
+    filesystem paths."""
+    if index_path is not None:
+        if index_complete is None:
+            index_complete = os.path.exists(os.path.join(index_path, "meta"))
+        if index_complete:
+            return "standing"
     t = 0.9 if target_recall is None else target_recall
     if n <= min(LSH_DISPATCH_MAX_N, _lsh_kernel_max_n(dim)):
         return "lsh" if t <= LSH_DISPATCH_MAX_RECALL else "ivf"
+    from udacity_capstone_data_engineering_spark.operators.pq import (
+        probe_fraction_for_recall,
+    )
+
+    if probe_fraction_for_recall(t) >= PQ_FLAT_MIN_PROBE_FRACTION:
+        return "pq"
     return "ivfpq"
 
 
@@ -113,6 +162,7 @@ def ann_topk(
     queries: DataFrame | None = None,
     index_path: str | None = None,
     mode: str = "auto",
+    n: int | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors, tier chosen by the measured
     crossover laws (module docstring). ``mode`` forces a tier
@@ -122,16 +172,31 @@ def ann_topk(
     path, but the honest baseline the recall gates compare against.
 
     ``index_path``: a ``build_ann_index`` artifact; when present (and
-    complete — the meta sentinel exists) auto mode serves from it,
-    re-fitting nothing. Per-tier knobs beyond the recall target stay
-    on the per-tier functions, which remain public."""
+    complete — the meta sentinel exists, resolved through the Hadoop
+    FileSystem API so remote hdfs://s3a:// artifacts count, ADVICE
+    r10) auto mode serves from it, re-fitting nothing. Per-tier knobs
+    beyond the recall target stay on the per-tier functions, which
+    remain public.
+
+    ``n``: a precomputed corpus count (or a catalog statistic) for the
+    auto dispatch — VERDICT r10 #6: without it every auto call pays a
+    full ``count()`` scan just to pick a tier, a whole extra pass on a
+    100-TB corpus. The count only picks the tier; per-tier auto-knob
+    sizing still measures what it needs. No count job runs when ``n``
+    is supplied or a complete ``index_path`` short-circuits to
+    standing (``test_ann_auto_dispatch_no_count_scan``)."""
     if mode not in _MODES:
         raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
     tier = mode
     if mode == "auto":
-        tier = choose_ann_tier(
-            emb.count(), target_recall, index_path=index_path, dim=dim
-        )
+        if index_path is not None and _index_complete(
+            emb.sparkSession, index_path
+        ):
+            tier = "standing"
+        else:
+            tier = choose_ann_tier(
+                emb.count() if n is None else n, target_recall, dim=dim
+            )
     if tier == "standing":
         from udacity_capstone_data_engineering_spark.operators.ann_index import (
             ann_topk_against_index,
