@@ -85,7 +85,15 @@ def build_ann_index(
     )
 
     spark = emb.sparkSession
-    n = emb.count()
+    # one aggregate job yields BOTH the corpus count and the id-sum
+    # fingerprint (ADVICE r10: an n-only staleness guard passes
+    # equal-count drift — one insert plus one delete — silently; the
+    # id sum catches membership churn at no extra scan)
+    stats = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.col(id_col)), F.lit(0)).alias("id_sum"),
+    ).head()
+    n, id_sum = int(stats["n"]), int(stats["id_sum"])
     fit_src = emb if fit_on is None else fit_on
     fit_n = n if fit_on is None else fit_src.count()
     if n_centroids is None:
@@ -110,6 +118,7 @@ def build_ann_index(
         "n_centroids": n_centroids,
         "seed": seed,
         "fit_sample": fit_sample,
+        "id_sum": id_sum,
     }
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
@@ -129,9 +138,9 @@ def build_ann_index(
     # (ADVICE r9: meta-first left a half artifact serve rows accepted
     # and then crashed on).
     spark.createDataFrame(
-        [(n, dim, m, ksub, n_centroids, seed, fit_sample)],
+        [(n, dim, m, ksub, n_centroids, seed, fit_sample, id_sum)],
         "n long, dim int, m int, ksub int, n_centroids int, seed int, "
-        "fit_sample int",
+        "fit_sample int, id_sum long",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     return meta
 
@@ -165,7 +174,11 @@ def _encode_to_cells(emb, id_col, vec_col, centers, books) -> DataFrame:
 
 
 def append_ann_index(
-    batch: DataFrame, id_col: str, vec_col: str, path: str
+    batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    validate_ids: bool = True,
 ) -> dict:
     """Incrementally append a new-document batch to a persisted ANN
     index (VERDICT r9 #2): encode the batch with the SAVED
@@ -184,14 +197,50 @@ def append_ann_index(
     batch plus a cell-partitioned append — nothing touches the
     standing codes, centroids, or codebooks.
 
-    The caller owns id-uniqueness (appending an id already in the
-    index duplicates it, exactly like inserting a duplicate row into
-    any table); the serve-side staleness guard
-    (``ann_topk_against_index``) compares ``meta.n`` against the
-    corpus count so a forgotten append — or a double one — is loud."""
+    Validation (ADVICE r10): the batch's vector width is asserted
+    against ``meta.dim`` UP FRONT (a wrong-dim batch previously failed
+    deep inside the executor-side Arrow encode), and with
+    ``validate_ids=True`` (default) batch ids already present in the
+    index raise before anything is written — a double append silently
+    double-indexed those ids and then desynced ``meta.n`` from the
+    corpus, which the staleness guard misread as a MISSING append.
+    The id check is one broadcast-batch semi-join over the (64×
+    compressed) code table; pass ``validate_ids=False`` on an ingest
+    path that owns id-uniqueness upstream and wants the scan back."""
     spark = batch.sparkSession
-    centers, books, _codes, meta = load_ann_index(spark, path)
-    n_batch = batch.count()
+    centers, books, codes_df, meta = load_ann_index(spark, path)
+    head = (
+        batch.select(F.size(F.col(vec_col)).alias("d"))
+        .filter(F.col("d").isNotNull())
+        .head()
+    )
+    if head is not None and int(head["d"]) != meta["dim"]:
+        raise ValueError(
+            f"append batch vectors have dim {int(head['d'])} but the index "
+            f"at {path} was built at dim {meta['dim']}"
+        )
+    if validate_ids:
+        dupes = (
+            codes_df.join(
+                F.broadcast(
+                    batch.select(F.col(id_col).alias("id")).distinct()
+                ),
+                "id",
+            )
+            .limit(1)
+            .count()
+        )
+        if dupes:
+            raise ValueError(
+                f"append batch contains ids already present in the index at "
+                f"{path} — appending would double-index them (pass "
+                "validate_ids=False only if uniqueness is owned upstream)"
+            )
+    bstats = batch.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.col(id_col)), F.lit(0)).alias("id_sum"),
+    ).head()
+    n_batch, batch_id_sum = int(bstats["n"]), int(bstats["id_sum"])
     coded = _encode_to_cells(batch, id_col, vec_col, centers, books)
     coded.repartition("cell").write.mode("append").parquet(f"{path}/codes")
     # valid-row count (NULL / zero-norm vectors have no direction to
@@ -199,6 +248,10 @@ def append_ann_index(
     # than diffing the standing code table
     n_batch_coded = coded.count()
     n_new = meta["n"] + n_batch
+    old_id_sum = meta.get("id_sum")
+    id_sum_new = (
+        None if old_id_sum is None else int(old_id_sum) + batch_id_sum
+    )
     # meta rewrite is last (the completion sentinel): a crash mid-append
     # leaves the old meta in place, and the staleness guard then flags
     # the n/codes divergence on the next serve.
@@ -212,10 +265,11 @@ def append_ann_index(
                 meta["n_centroids"],
                 meta["seed"],
                 meta["fit_sample"],
+                id_sum_new,
             )
         ],
         "n long, dim int, m int, ksub int, n_centroids int, seed int, "
-        "fit_sample int",
+        "fit_sample int, id_sum long",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     return {
         "n_old": meta["n"],
@@ -285,13 +339,20 @@ def ann_topk_against_index(
     budget law) uses the CORPUS COUNT SAVED IN META, so serving a
     small batch still sizes for the index it scans.
 
-    ``staleness`` (VERDICT r9 #2): ``meta.n`` vs the corpus count —
-    divergence means the index predates an ingest (missing an
-    ``append_ann_index``) or an append ran twice, and vectors absent
-    from the index would silently never be RETURNED as neighbors.
+    ``staleness`` (VERDICT r9 #2): ``(meta.n, meta.id_sum)`` vs the
+    corpus's (count, id-sum) in ONE aggregate job — divergence means
+    the index predates an ingest (missing an ``append_ann_index``) or
+    an append ran twice, and vectors absent from the index would
+    silently never be RETURNED as neighbors. The id-sum fingerprint
+    (ADVICE r10) also catches EQUAL-COUNT membership churn (one
+    insert + one delete); what no cardinality/membership fingerprint
+    catches is an in-place vector CONTENT update under the same id —
+    that residual blind spot is documented here deliberately (a
+    content digest would cost a full vector scan per serve).
     ``'warn'`` (default) emits a UserWarning, ``'error'`` raises,
     ``'ignore'`` for corpora that intentionally supersede the index
-    (e.g. a vector store carrying extra non-indexed columns/rows)."""
+    (e.g. a vector store carrying extra non-indexed columns/rows) —
+    and also skips the corpus-scan aggregate entirely."""
     import math
     import warnings
 
@@ -322,11 +383,19 @@ def ann_topk_against_index(
     n, m = meta["n"], meta["m"]
     n_centroids = meta["n_centroids"]
     if staleness != "ignore":
-        corpus_n = emb.count()
-        if corpus_n != n:
+        cstats = emb.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.col(id_col)), F.lit(0)).alias("id_sum"),
+        ).head()
+        corpus_n, corpus_sum = int(cstats["n"]), int(cstats["id_sum"])
+        meta_sum = meta.get("id_sum")
+        if corpus_n != n or (
+            meta_sum is not None and corpus_sum != int(meta_sum)
+        ):
             msg = (
-                f"standing ANN index at {path} is stale: meta.n={n} but the "
-                f"corpus has {corpus_n} rows — run append_ann_index for the "
+                f"standing ANN index at {path} is stale: meta (n={n}, "
+                f"id_sum={meta_sum}) vs corpus (n={corpus_n}, "
+                f"id_sum={corpus_sum}) — run append_ann_index for the "
                 "missing batch (or rebuild); un-indexed vectors are never "
                 "returned as neighbors"
             )
