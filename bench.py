@@ -185,8 +185,18 @@ def main() -> None:
     # VERDICT r5 #4: bench the WHOLE catalog, not just the headline
     # tier — 93 queries had no recorded wall, so a regression there was
     # invisible. HEADLINE keeps its historical order (cross-round
-    # per-query ratios stay aligned); everything else appends sorted.
-    run_list = HEADLINE + sorted(set(qs) - set(HEADLINE))
+    # per-query ratios stay aligned); everything else appends sorted,
+    # except that *_build rows run FIRST (r11): build rows always
+    # rebuild their session artifact by contract, and running them
+    # ahead of the serve rows makes every serve wall a true serve-only
+    # cost (ann_auto_dispatch sorts before ann_exact_truth_build and
+    # would otherwise pay the truth build inside its own row).
+    rest = sorted(set(qs) - set(HEADLINE))
+    run_list = (
+        HEADLINE
+        + [n for n in rest if n.endswith("_build")]
+        + [n for n in rest if not n.endswith("_build")]
+    )
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:

@@ -1092,18 +1092,17 @@ def ann_recall_report(spark, sf_dir):
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # localCheckpoint (not persist): the quadratic brute-force
-    # baseline feeds all the method rows (the union branches would
-    # otherwise recompute it per row), but a plain persist stays
-    # pinned in executor storage for the rest of the session (ADVICE
-    # r3); the eager localCheckpoint materializes once and is freed
-    # with the query plan by the ContextCleaner. Rows are (id, id)
-    # pairs — tiny.
-    exact = (
-        brute_force_topk(emb, "vec_id", "embedding", k=5)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
+    # Build/serve split (VERDICT r10 #3): the exact truths are
+    # PERSISTED session artifacts (``ann_exact_truth_build`` — the
+    # build row pays the quadratic cost once per bench session; this
+    # gate serves from parquet, build-if-absent outside the bench).
+    # Truths are (id, id) integer pairs, so the round trip is
+    # loss-free and every recall verdict is unchanged.
+    from udacity_capstone_data_engineering_spark.queries_phase16 import (
+        load_ann_exact_truth,
     )
+
+    exact, exact_jl = load_ann_exact_truth(spark, sf_dir)
 
     def method_row(name, approx, bound=0.8):
         hits = exact.join(
@@ -1152,11 +1151,6 @@ def ann_recall_report(spark, sf_dir):
 
     proj = jl_project(emb, "vec_id", "embedding", 16).localCheckpoint(
         eager=True
-    )
-    exact_jl = (
-        brute_force_topk(proj, "vec_id", "embedding", k=5)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
     )
 
     def jl_row(name, approx, bound=0.9):
