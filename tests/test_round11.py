@@ -387,3 +387,18 @@ def test_ann_truth_artifact_reused(spark, sf_dir):
     finally:
         similarity.brute_force_topk = saved
     assert n64 > 0 and n16 > 0 and n64 == n16
+
+
+def test_first_50_rotation_covers_unsampled_rows():
+    """VERDICT r10 #5: the driver samples queries()'s first 50 rows;
+    after the rotation they must all be oracle-paired AND absent from
+    every r01-r10 official sample."""
+    import __spark_entry__ as entry
+    from udacity_capstone_data_engineering_spark.queries import (
+        _OFFICIALLY_SAMPLED,
+    )
+
+    qs, os_ = list(entry.queries()), entry.oracle_sql()
+    first50 = qs[:50]
+    assert all(n in os_ for n in first50)
+    assert not set(first50) & _OFFICIALLY_SAMPLED

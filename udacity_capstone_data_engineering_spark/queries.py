@@ -1205,18 +1205,58 @@ def multimodal_features(spark, sf_dir):
     ).select("doc_id", F.col("feat_idx").cast("int").alias("feat_idx"), "feat_value")
 
 
+# Every query name that has appeared in an official driver
+# CORRECTNESS_r01..r10 sample (the driver takes the FIRST 50 entries
+# of queries()). Frozen history — VERDICT r10 #5: 163 of the 215
+# catalog rows had never been officially sampled because the first-50
+# window never moved; ordering never-sampled rows first rotates the
+# official gate through the unseen tail. Extend this set each round
+# with the names the new CORRECTNESS record sampled.
+_OFFICIALLY_SAMPLED = frozenset(
+    """
+    anti_join_no_urgent approx_distinct_users asof_join_purchase_view
+    case_normalized_join cube_flag_status date_parts_calendar
+    dedup_orders_per_customer deterministic_stats distinct_segments
+    doc_fingerprints doc_quality doc_token_stats drop_columns_docs
+    dup_witness_flag_status embedding_cosine_topk embedding_lsh_topk
+    embedding_norms events_sessionize events_sliding_halfhour
+    events_tumbling_hourly exact_dedup_docs exact_distinct_users
+    fill_nulls_events fk_orphan_lineitems flagship_nation_order_stats
+    global_top100_lineitems group_first_per_nation grouping_sets_sql
+    json_extract_props lang_id_confusion math_functions
+    median_price_per_segment minhash_rows multi_cast
+    multimodal_features near_dup_minhash_lsh null_profile_events
+    pricing_summary project_rename qc_table_counts
+    range_join_events_60s rollup_priority_status salted_skew_agg
+    sas_epoch_roundtrip semi_join_customers_with_orders
+    setops_customer_segments simhash_docs string_functions token_tfidf
+    window_lag_delta window_rolling_sum window_topk_orders
+    """.split()
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Oracle-paired entries first (registration order within each
-    # group): the driver's correctness gate samples the FIRST 50
-    # registered queries, and the handful of rows-only-by-design
-    # entries (approximate ANN paths, sketches — each with a
-    # hash-gated exact twin, pinned in tests/test_spec.py) used to
-    # land inside that window and read as 2 structural 'no_oracle'
-    # rows every round (VERDICT r6 #5). Ordering is deterministic, so
-    # bench/manifest records stay comparable.
-    paired = {n: fn for n, (fn, sql) in _REGISTRY.items() if sql is not None}
+    # Ordering (deterministic): oracle-paired entries first (VERDICT
+    # r6 #5 — the rows-only-by-design entries must sit past the
+    # driver's first-50 correctness window; pinned in
+    # tests/test_spec.py), and within the paired group the rows NEVER
+    # yet officially sampled come first, in registration order
+    # (VERDICT r10 #5 — rotate the official 50-row sample through the
+    # catalog tail instead of re-checking the same 50 every round).
+    # bench.py orders its own run list, so bench records stay
+    # comparable across rounds regardless of this rotation.
+    fresh = {
+        n: fn
+        for n, (fn, sql) in _REGISTRY.items()
+        if sql is not None and n not in _OFFICIALLY_SAMPLED
+    }
+    sampled = {
+        n: fn
+        for n, (fn, sql) in _REGISTRY.items()
+        if sql is not None and n in _OFFICIALLY_SAMPLED
+    }
     rows_only = {n: fn for n, (fn, sql) in _REGISTRY.items() if sql is None}
-    return {**paired, **rows_only}
+    return {**fresh, **sampled, **rows_only}
 
 
 def oracle_sql() -> dict[str, str]:
