@@ -402,3 +402,29 @@ def test_first_50_rotation_covers_unsampled_rows():
     first50 = qs[:50]
     assert all(n in os_ for n in first50)
     assert not set(first50) & _OFFICIALLY_SAMPLED
+
+
+def test_pack_cells_to_shards_caps_and_splits():
+    """r11: packed shards must respect the byte cap (hot cells split
+    first), cover every (cell, sub) piece exactly once, and be
+    deterministic."""
+    from udacity_capstone_data_engineering_spark.operators.pq import (
+        _pack_cells_to_shards,
+    )
+
+    counts = {0: 100, 1: 3, 2: 50, 3: 900, 4: 1}
+    row_bytes, cap = 16, 1024  # 64 rows per cap
+    rows, n_shards, nsub = _pack_cells_to_shards(counts, row_bytes, cap)
+    assert rows == _pack_cells_to_shards(counts, row_bytes, cap)[0]
+    # hot cells split into ceil(bytes/cap) pieces
+    assert nsub[3] == -(-900 * 16 // 1024) and nsub[1] == 1
+    assert {(c, j) for c, j, _s in rows} == {
+        (c, j) for c in counts for j in range(nsub[c])
+    }
+    # per-shard packed bytes stay <= cap (per-piece estimate)
+    loads: dict[int, int] = {}
+    for c, j, s in rows:
+        per_piece = -(-counts[c] // nsub[c]) * row_bytes
+        loads[s] = loads.get(s, 0) + per_piece
+    assert all(v <= cap for v in loads.values())
+    assert n_shards == len(loads)

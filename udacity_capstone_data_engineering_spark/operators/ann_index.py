@@ -358,12 +358,9 @@ def ann_topk_against_index(
 
     import numpy as np
 
-    from udacity_capstone_data_engineering_spark.operators.ivf import (
-        _probe_cells_udf,
-    )
     from udacity_capstone_data_engineering_spark.operators.pq import (
         _ivfpq_candidates_udf,
-        _sharded_adc_candidates,
+        _sharded_ivfpq_candidates,
         probe_fraction_for_recall,
         rerank_budget,
     )
@@ -420,53 +417,16 @@ def ann_topk_against_index(
 
     index_bytes = n * (8 + m)
     if index_bytes > cap:
-        # sharded regime: shards ARE cells (hot cells hash-split under
-        # the cap), exactly the in-line past-the-cap plan — but the
-        # codes come off parquet instead of a fresh encode.
-        row_bytes = 8 + m
-        cnt_pdf = (
-            codes.groupBy("cell").agg(F.count(F.lit(1)).alias("cnt")).toPandas()
-        )
-        counts = dict(
-            zip(
-                cnt_pdf["cell"].astype(int).tolist(),
-                cnt_pdf["cnt"].astype(int).tolist(),
-            )
-        )
-        meta_rows, map_rows, off = [], [], 0
-        for c in sorted(counts):
-            nsub = max(1, -(-counts[c] * row_bytes // max(cap, 1)))
-            meta_rows.append((c, off, nsub))
-            map_rows.extend((c, off + j) for j in range(nsub))
-            off += nsub
-        smeta = spark.createDataFrame(
-            meta_rows or [(0, 0, 1)], "cell int, __off int, __nsub int"
-        )
-        mapping = spark.createDataFrame(
-            map_rows or [(0, 0)], "cell int, __shard int"
-        )
-        coded = (
-            codes.join(F.broadcast(smeta), "cell")
-            .withColumn(
-                "__shard",
-                (
-                    F.col("__off") + F.pmod(F.xxhash64("id"), F.col("__nsub"))
-                ).cast("int"),
-            )
-            .select("id", "codes", "__shard")
-        )
-        probe = _probe_cells_udf(centers, nprobe)
-        probes = (
-            qv.select(
-                F.col(id_col).alias("query_id"),
-                F.explode(probe(F.col("uv"))).alias("cell"),
-            )
-            .join(F.broadcast(mapping), "cell")
-            .select("query_id", "__shard")
-        )
+        # sharded regime (r11): the CELL-PACKED grid join — cells pack
+        # into byte-capped shards (hot cells hash-split under the
+        # cap), exactly the in-line past-the-cap plan
+        # (``pq._sharded_ivfpq_candidates``) — but the codes come off
+        # parquet (already cell-partitioned at rest) instead of a
+        # fresh encode.
         qframe = qv.select(F.col(id_col).alias("query_id"), "uv")
-        pairs = _sharded_adc_candidates(
-            qframe, probes, coded, books, rerank, n_queries=n_q
+        pairs = _sharded_ivfpq_candidates(
+            qframe, codes.select("id", "cell", "codes"), centers, books,
+            nprobe, rerank, n_queries=n_q, cap=cap,
         ).filter(F.col("query_id") != F.col("neighbor_id"))
     else:
         # broadcast regime: collect the code table (n×(8+m) bytes,

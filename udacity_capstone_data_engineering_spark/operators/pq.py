@@ -341,7 +341,7 @@ def _compact_candidate_partials(qpos, cids, cscores, nq, rerank):
 
 def _cell_major_candidates(
     x, centers, books, cell_ids, cell_codes, nprobe, rerank,
-    compact_elems=None,
+    compact_elems=None, return_partials=False,
 ):
     """CELL-MAJOR ADC scan over a query batch (r10): probe each query's
     ``nprobe`` nearest cells, score each cell once for ALL the queries
@@ -361,7 +361,11 @@ def _cell_major_candidates(
     Compaction is lossless (same merge key), pinned by
     ``test_cell_major_compaction_lossless``.
 
-    Returns a list of ``nq`` int64 id arrays (each ≤ ``rerank``)."""
+    Returns a list of ``nq`` int64 id arrays (each ≤ ``rerank``) — or,
+    with ``return_partials=True``, the compacted ``(qpos, ids, adc)``
+    arrays themselves (sorted by the merge key), which the sharded
+    grid kernel emits so the cross-shard window can re-merge on the
+    identical (query, adc desc, id asc) rule."""
     import numpy as np
 
     if compact_elems is None:
@@ -417,14 +421,18 @@ def _cell_major_candidates(
                 qpos_parts, id_parts, score_parts = [qp], [ci], [cs]
                 acc_elems = len(qp)
     if not qpos_parts:
+        if return_partials:
+            return empty, empty, empty_f
         return [empty] * nq
-    qpos, cids, _ = _compact_candidate_partials(
+    qpos, cids, cscores = _compact_candidate_partials(
         np.concatenate(qpos_parts),
         np.concatenate(id_parts),
         np.concatenate(score_parts) if score_parts else empty_f,
         nq,
         rerank,
     )
+    if return_partials:
+        return qpos, cids, cscores
     starts = np.searchsorted(qpos, np.arange(nq), side="left")
     ends = np.searchsorted(qpos, np.arange(nq), side="right")
     return [
@@ -581,6 +589,180 @@ def _sharded_adc_candidates(
     )
 
 
+def _pack_cells_to_shards(counts: dict, row_bytes: int, cap: int):
+    """Deterministic first-fit-decreasing packing of IVF cells into
+    byte-capped shards (r11): each cell whose code bytes exceed the cap
+    is first hash-split into ``ceil(bytes/cap)`` pieces, then pieces
+    pack into the fewest shards whose content stays ≤ ``cap``.
+
+    Why pack MANY cells per shard instead of shard-per-cell (the r4
+    design): the per-(query, shard) top-``rerank`` cut only truncates
+    when a shard holds ≫ ``rerank`` rows. With shard = cell, cell size
+    (~√n) is BELOW the √n-contour rerank budget, so every probed
+    cell's every row flowed into the cross-shard merge window —
+    nq · probe_fraction · n rows of shuffle, the same failure class as
+    the r10 LSH join spill, just deferred to the fourth decade. Packed
+    shards hold ~cap/row_bytes rows (16M at m=8), the cut binds, and
+    the merge window receives nq · n_shards · rerank rows.
+
+    Returns ``(mapping_rows, n_shards, nsub)``: mapping_rows is
+    ``[(cell, sub, shard)]``, ``nsub[cell]`` the piece count."""
+    pieces = []
+    nsub = {}
+    for c in sorted(counts):
+        ns = max(1, -(-counts[c] * row_bytes // max(cap, 1)))
+        nsub[int(c)] = int(ns)
+        per_piece = -(-counts[c] // ns) * row_bytes
+        pieces.extend((per_piece, int(c), j) for j in range(ns))
+    pieces.sort(key=lambda p: (-p[0], p[1], p[2]))
+    remaining: list[int] = []
+    mapping_rows = []
+    for size, c, j in pieces:
+        for s, room in enumerate(remaining):
+            if room >= size:
+                remaining[s] = room - size
+                mapping_rows.append((c, j, s))
+                break
+        else:
+            remaining.append(max(cap - size, 0))
+            mapping_rows.append((c, j, len(remaining) - 1))
+    return mapping_rows, max(1, len(remaining)), nsub
+
+
+def _sharded_ivfpq_candidates(
+    qframe, coded_cells, centers, books, nprobe, rerank, n_queries, cap
+):
+    """The past-the-cap IVF-PQ scan (r11 rewrite): a cogrouped grid
+    join over CELL-PACKED shards.
+
+    ``qframe``      — (query_id, uv) unit query vectors.
+    ``coded_cells`` — (id, cell, codes): the distributed inverted
+                      file, cell assignment already materialized.
+
+    Cells pack into byte-capped shards (``_pack_cells_to_shards``);
+    queries join only the shards holding ≥1 of their probed cells.
+    Inside each (query-block × shard) task the kernel re-derives each
+    query's probed-cell set from the broadcast centroids — the same
+    ``argsort(-(x·cᵀ − ½|c|²))`` selection as ``_probe_cells_udf``, so
+    nothing per-query ships besides the vector — and runs the SAME
+    bounded cell-major ADC scan as the broadcast kernel restricted to
+    this shard's cells, emitting per-(query, shard) top-``rerank``
+    (adc, id) partials. The cross-shard window merges on the identical
+    (query, adc desc, id asc) key; per-(query,row) scores are
+    shard-independent (einsum LUTs, s-major accumulation), so the
+    merged set is exactly the broadcast kernel's (forced-cap equality
+    tests, including the sub-shard split cap).
+
+    Returns (query_id, neighbor_id) candidate pairs."""
+    import numpy as np
+    import pandas as pd
+
+    from udacity_capstone_data_engineering_spark.operators.ivf import (
+        _probe_cells_udf,
+    )
+
+    spark = qframe.sparkSession
+    m = books.shape[0]
+    row_bytes = 8 + m
+    n_cells_total = len(centers)
+    # bounded Arrow boundary: cells × count = √n rows to the driver
+    cnt_pdf = (
+        coded_cells.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .toPandas()
+    )
+    counts = dict(
+        zip(
+            cnt_pdf["cell"].astype(int).tolist(),
+            cnt_pdf["cnt"].astype(int).tolist(),
+        )
+    )
+    mapping_rows, n_shards, nsub = _pack_cells_to_shards(
+        counts, row_bytes, cap
+    )
+    mapping = spark.createDataFrame(
+        mapping_rows or [(0, 0, 0)], "cell int, __sub int, __shard int"
+    )
+    nsub_df = spark.createDataFrame(
+        sorted(nsub.items()) or [(0, 1)], "cell int, __nsub int"
+    )
+    coded = (
+        coded_cells.join(F.broadcast(nsub_df), "cell")
+        .withColumn(
+            "__sub", F.pmod(F.xxhash64("id"), F.col("__nsub")).cast("int")
+        )
+        .join(F.broadcast(mapping), ["cell", "__sub"])
+        .select("id", "cell", "codes", "__shard")
+    )
+    probe = _probe_cells_udf(centers, nprobe)
+    # an INDEPENDENT cell→shard relation for the probe side (sharing
+    # the `mapping` frame across both cogroup lineages trips Spark's
+    # ambiguous-self-join analysis on __shard)
+    probe_mapping = spark.createDataFrame(
+        sorted({(c, s) for c, _j, s in mapping_rows}) or [(0, 0)],
+        "cell int, __shard int",
+    )
+    probes = (
+        qframe.select(
+            "query_id", F.explode(probe(F.col("uv"))).alias("cell")
+        )
+        .join(F.broadcast(probe_mapping), "cell")
+        .select("query_id", "__shard")
+        .distinct()
+    )
+    n_blocks = max(1, -(-n_queries // ADC_QUERY_BLOCK_ROWS))
+    left = probes.join(qframe, "query_id").withColumn(
+        "__qb", F.pmod(F.xxhash64("query_id"), F.lit(n_blocks)).cast("int")
+    )
+    right = coded.crossJoin(
+        F.broadcast(
+            spark.range(n_blocks).select(F.col("id").cast("int").alias("__qb"))
+        )
+    )
+
+    def scan(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(lpdf) or not len(rpdf):
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "adc": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64", "adc": "f8"})
+        rpdf = rpdf.sort_values(["cell", "id"])
+        cells_arr = rpdf["cell"].to_numpy(dtype=np.int64)
+        ids = rpdf["id"].to_numpy(dtype=np.int64)
+        codes = np.vstack(rpdf["codes"].to_numpy()).astype(np.uint8)
+        bounds = np.searchsorted(cells_arr, np.arange(n_cells_total + 1))
+        cell_ids = [
+            ids[bounds[c] : bounds[c + 1]] for c in range(n_cells_total)
+        ]
+        cell_codes = [
+            codes[bounds[c] : bounds[c + 1]] for c in range(n_cells_total)
+        ]
+        x = np.vstack(lpdf["uv"].to_numpy())
+        qids = lpdf["query_id"].to_numpy(dtype=np.int64)
+        qpos, cids, cscores = _cell_major_candidates(
+            x, centers, books, cell_ids, cell_codes, nprobe, rerank,
+            return_partials=True,
+        )
+        return pd.DataFrame(
+            {
+                "query_id": qids[qpos],
+                "neighbor_id": cids,
+                "adc": cscores,
+            }
+        )
+
+    out = (
+        left.groupBy("__shard", "__qb")
+        .cogroup(right.groupBy("__shard", "__qb"))
+        .applyInPandas(scan, "query_id long, neighbor_id long, adc double")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), "neighbor_id")
+    return (
+        out.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+
+
 def ivfpq_topk(
     emb: DataFrame,
     id_col: str,
@@ -619,14 +801,17 @@ def ivfpq_topk(
     fraction, or pin ``nprobe`` explicitly.
 
     Past the broadcast cap the inverted file STAYS DISTRIBUTED and
-    the scan becomes the cell-sharded grid join
-    (``_sharded_adc_candidates`` — shards ARE cells, so each query
-    still touches only its probed cells; a hot cell whose measured
-    code bytes exceed the cap is hash-split into sub-shards, so the
-    per-task bound is ENFORCED under any skew — ADVICE r4); under it,
-    the classic driver-collected broadcast inverted file.  Both
-    regimes return identical results (forced-cap equality tests,
-    including a cap small enough to force sub-shard splits).
+    the scan becomes the CELL-PACKED grid join
+    (``_sharded_ivfpq_candidates``, r11): cells pack into byte-capped
+    shards (hot cells hash-split first, so the per-task bound is
+    ENFORCED under any skew — ADVICE r4), queries join only shards
+    holding their probed cells, and the per-(query, shard) top-rerank
+    cut binds because a shard holds ~cap/row_bytes rows ≫ rerank
+    (shard-per-cell, the r4 design, let every probed row through to
+    the merge window).  Under the cap, the classic driver-collected
+    broadcast inverted file.  Both regimes return identical results
+    (forced-cap equality tests, including a cap small enough to force
+    sub-shard splits).
 
     ``queries``: optional serving WORKLOAD — a DataFrame with the same
     ``id_col``/``vec_col`` columns whose ids are a subset of the
@@ -641,7 +826,6 @@ def ivfpq_topk(
 
     from udacity_capstone_data_engineering_spark.operators.ivf import (
         _fit_centroids,
-        _probe_cells_udf,
     )
     from udacity_capstone_data_engineering_spark.operators.similarity import (
         BROADCAST_SCORE_MAX_BYTES,
@@ -687,69 +871,21 @@ def ivfpq_topk(
     # one byte per subspace + the int64 id — the bytes actually shipped
     index_bytes = n * (8 + m)
     if index_bytes > cap:
-        # ---- sharded regime: shards ARE the IVF cells, except that a
-        # HOT cell whose measured code bytes exceed the cap is
-        # hash-SPLIT into sub-shards (ADVICE r4: cell sizes are
-        # data-dependent, so "every shard fits the cap" must be
-        # enforced, not assumed).  The split changes nothing about
-        # results: per-(query,row) ADC scores are shard-independent
-        # and the query-keyed window merge already reduces per-shard
-        # top-rerank sets globally with the same tie rule.  Sizing
-        # needs one tiny aggregate (cells × count — sqrt(n) rows to
-        # the driver).
+        # ---- sharded regime (r11 rewrite): cells PACK into
+        # byte-capped shards and the grid kernel re-derives per-query
+        # probes in-task — see _sharded_ivfpq_candidates for why
+        # shard-per-cell (the r4 design) defeated the per-shard
+        # top-rerank cut and would have flooded the merge window with
+        # nq·probe_fraction·n rows at the fourth decade.
         coded_cells = v.select(
             F.col(id_col).alias("id"),
-            assign(F.col("uv")).cast("int").alias("__cell"),
+            assign(F.col("uv")).cast("int").alias("cell"),
             encode(F.col("uv")).alias("codes"),
         )
-        spark = emb.sparkSession
-        row_bytes = 8 + m
-        # bounded Arrow boundary: cells × count = sqrt(n) rows
-        cnt_pdf = (
-            coded_cells.groupBy("__cell")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .toPandas()
-        )
-        counts = dict(
-            zip(
-                cnt_pdf["__cell"].astype(int).tolist(),
-                cnt_pdf["cnt"].astype(int).tolist(),
-            )
-        )
-        meta_rows, map_rows, off = [], [], 0
-        for c in sorted(counts):
-            nsub = max(1, -(-counts[c] * row_bytes // max(cap, 1)))
-            meta_rows.append((c, off, nsub))
-            map_rows.extend((c, off + j) for j in range(nsub))
-            off += nsub
-        meta = spark.createDataFrame(
-            meta_rows or [(0, 0, 1)], "__cell int, __off int, __nsub int"
-        )
-        mapping = spark.createDataFrame(
-            map_rows or [(0, 0)], "__cell int, __shard int"
-        )
-        coded = (
-            coded_cells.join(F.broadcast(meta), "__cell")
-            .withColumn(
-                "__shard",
-                (
-                    F.col("__off") + F.pmod(F.xxhash64("id"), F.col("__nsub"))
-                ).cast("int"),
-            )
-            .select("id", "codes", "__shard")
-        )
-        probe = _probe_cells_udf(centers, nprobe)
-        probes = (
-            qv.select(
-                F.col(id_col).alias("query_id"),
-                F.explode(probe(F.col("uv"))).alias("__cell"),
-            )
-            .join(F.broadcast(mapping), "__cell")
-            .select("query_id", "__shard")
-        )
         qframe = qv.select(F.col(id_col).alias("query_id"), "uv")
-        pairs = _sharded_adc_candidates(
-            qframe, probes, coded, books, rerank, n_queries=n_q
+        pairs = _sharded_ivfpq_candidates(
+            qframe, coded_cells, centers, books, nprobe, rerank,
+            n_queries=n_q, cap=cap,
         ).filter(F.col("query_id") != F.col("neighbor_id"))
     else:
         # fan out before the CPU-heavy encode/assign UDFs: a one-file
