@@ -677,8 +677,23 @@ def _sharded_ivfpq_candidates(
             cnt_pdf["cnt"].astype(int).tolist(),
         )
     )
+    # the grid's task count is n_shards × n_blocks: a one-block query
+    # batch against the minimum byte-driven shard count would run on a
+    # handful of cores. Shards may be FINER than the cap requires
+    # (per-(query,row) scores are shard-independent; cells partition,
+    # not replicate), so shrink the effective packing cap until the
+    # shard count reaches ~2 tasks/core.
+    n_blocks = max(1, -(-n_queries // ADC_QUERY_BLOCK_ROWS))
+    par = max(1, spark.sparkContext.defaultParallelism)
+    min_shards = min(-(-2 * par // n_blocks), 4 * par)
+    total_bytes = sum(counts.values()) * row_bytes
+    eff_cap = (
+        max(1, min(cap, -(-total_bytes // max(min_shards, 1))))
+        if counts
+        else cap
+    )
     mapping_rows, n_shards, nsub = _pack_cells_to_shards(
-        counts, row_bytes, cap
+        counts, row_bytes, eff_cap
     )
     mapping = spark.createDataFrame(
         mapping_rows or [(0, 0, 0)], "cell int, __sub int, __shard int"
@@ -710,7 +725,6 @@ def _sharded_ivfpq_candidates(
         .select("query_id", "__shard")
         .distinct()
     )
-    n_blocks = max(1, -(-n_queries // ADC_QUERY_BLOCK_ROWS))
     left = probes.join(qframe, "query_id").withColumn(
         "__qb", F.pmod(F.xxhash64("query_id"), F.lit(n_blocks)).cast("int")
     )
@@ -1138,8 +1152,18 @@ def pq_topk(
 
     index_bytes = n * (8 + m)
     if index_bytes > cap:
-        # ---- sharded regime: hash shards, each under the cap ----
-        n_shards = max(2, -(-index_bytes // max(cap, 1)))
+        # ---- sharded regime: hash shards, each under the cap; at
+        # least ~2 tasks/core (r11 — the grid's task count is
+        # n_shards × n_blocks, and a one-block serving batch against
+        # the minimum byte-driven shard count would idle most of the
+        # cluster) ----
+        par = max(1, emb.sparkSession.sparkContext.defaultParallelism)
+        blocks_est = max(1, -(-n_q // ADC_QUERY_BLOCK_ROWS))
+        n_shards = max(
+            2,
+            -(-index_bytes // max(cap, 1)),
+            min(-(-2 * par // blocks_est), 4 * par),
+        )
         coded = v.select(
             F.col(id_col).alias("id"),
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))

@@ -746,8 +746,20 @@ def _sharded_lsh_topk(
     take = k + 8
     corpus_keyfn, _ = _lsh_key_fn(dim, planes, tables, 0)
     probe_keyfn, n_probes = _lsh_key_fn(dim, planes, tables, multiprobe)
-    n_shards = max(2, -(-(n * dim * 8) // max(cap, 1)))
     n_blocks = max(1, -(-n_q // LSH_QUERY_BLOCK_ROWS))
+    # the grid's task count is n_shards × n_blocks: a serving batch
+    # (one query block) against a 4-shard corpus would otherwise run
+    # on 4 of the cluster's cores. Shards may be FINER than the byte
+    # cap requires — per-(query,row) work is shard-independent, total
+    # bucket work is partitioned not replicated — so size the shard
+    # count up to ~2 tasks/core; only per-task corpus keying and the
+    # per-shard probe overhead grow, both sublinear in n_shards.
+    par = max(1, spark.sparkContext.defaultParallelism)
+    n_shards = max(
+        2,
+        -(-(n * dim * 8) // max(cap, 1)),
+        min(-(-2 * par // n_blocks), 4 * par),
+    )
 
     qsrc = (queries if queries is not None else emb).select(
         F.col(id_col).alias("query_id"),
