@@ -128,8 +128,10 @@ def ann_auto_dispatch(spark, sf_dir):
     )
 
     emb = fan_out_small_scan(load_table(spark, sf_dir, "embeddings"))
-    tier = choose_ann_tier(emb.count(), target_recall=0.9)
-    approx = ann_topk(emb, "vec_id", "embedding", dim=64, k=5)
+    n = emb.count()
+    tier = choose_ann_tier(n, target_recall=0.9)
+    # n= (r11): the facade reuses this count instead of re-scanning
+    approx = ann_topk(emb, "vec_id", "embedding", dim=64, k=5, n=n)
     # exact truth served from the persisted artifact (VERDICT r10 #3)
     exact = load_ann_exact_truth(spark, sf_dir)[0].localCheckpoint(
         eager=True
