@@ -271,18 +271,24 @@ class TestAnnDispatchFacade:
         # 32-table recall cap for small dims
         cap64 = _lsh_kernel_max_n(64)
         assert choose_ann_tier(cap64, 0.9, dim=64) == "lsh"
-        # past the LSH region the r11 dispatch law splits on the probe
-        # fraction the recall target implies (r10 2M measurement: flat
-        # PQ beat IVF-PQ at the 3/4 fraction on wall AND recall) —
-        # targets > 0.85 (fraction ≥ 3/4) go flat pq, lower targets
-        # keep the cell filter
-        assert choose_ann_tier(cap64 + 1, 0.9, dim=64) == "pq"
+        # r11: LSH runs to the 32-TABLE ladder cap regardless of the
+        # byte cap — the sharded grid kernel measured 103 ms/query at
+        # recall 0.9935 on the full 2M cell (the r10 byte-cap handoff
+        # guarded a join regime that no longer exists)
+        assert choose_ann_tier(cap64 + 1, 0.9, dim=64) == "lsh"
         assert choose_ann_tier(2_000_000, 0.9, dim=16) == "lsh"
+        # past the table cap the law splits on the probe fraction the
+        # target implies (r10 2M measurement: flat PQ beat IVF-PQ at
+        # the 3/4 fraction on wall AND recall) — targets > 0.85 go
+        # flat pq, lower targets keep the cell filter
         assert choose_ann_tier(LSH_DISPATCH_MAX_N + 1, 0.9, dim=16) == "pq"
+        assert choose_ann_tier(LSH_DISPATCH_MAX_N + 1, 0.85, dim=64) == "ivfpq"
         assert choose_ann_tier(2_000, 0.99) == "ivf"
+        # targets past the LSH ladder's promise: exact-cell IVF while
+        # raw vectors broadcast, coded tiers past that byte cap
         assert choose_ann_tier(cap64 + 1, 0.99, dim=64) == "pq"
-        assert choose_ann_tier(cap64 + 1, 0.85, dim=64) == "ivfpq"
-        assert choose_ann_tier(cap64 + 1, 0.66, dim=64) == "ivfpq"
+        assert choose_ann_tier(cap64 + 1, 0.9, dim=64) == "lsh"
+        assert choose_ann_tier(cap64 + 1, 0.66, dim=64) == "lsh"
         # artifact wins — but only a COMPLETE one (meta sentinel)
         idx = tmp_path / "idx"
         (idx / "codes").mkdir(parents=True)

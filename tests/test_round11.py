@@ -179,14 +179,23 @@ class TestDispatchCrossover:
             probe_fraction_for_recall,
         )
 
-        past = _lsh_kernel_max_n(64) + 1
-        # the dispatch must agree with the fraction law it encodes
-        for t in (0.5, 0.66, 0.8, 0.85, 0.9, 0.95, 0.97, 0.99, None):
+        from udacity_capstone_data_engineering_spark.operators.ann import (
+            LSH_DISPATCH_MAX_N,
+        )
+
+        past = LSH_DISPATCH_MAX_N + 1
+        # past the LSH table cap the dispatch must agree with the
+        # fraction law it encodes
+        for t in (0.5, 0.66, 0.8, 0.85, 0.9, 0.95, 0.97, None):
             tier = choose_ann_tier(past, t, dim=64)
             frac = probe_fraction_for_recall(0.9 if t is None else t)
             assert tier == (
                 "pq" if frac >= PQ_FLAT_MIN_PROBE_FRACTION else "ivfpq"
             )
+        # past the raw-vector byte cap but under the table cap, a
+        # target above the ladder's 0.97 promise goes to the coded
+        # tiers (IVF needs raw vectors broadcast)
+        assert choose_ann_tier(_lsh_kernel_max_n(64) + 1, 0.99) == "pq"
 
     def test_auto_equals_forced_pq(self, spark, sf_dir):
         """auto at a past-the-cap (precomputed) count and default 0.9

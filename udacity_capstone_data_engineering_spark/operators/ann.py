@@ -15,34 +15,43 @@ decade grids, not a guess):
                               (the r8 sf10 probe measured ~10 min/call
                               of re-paid fit at 200k vectors), recall
                               from the same nprobe/rerank laws.
-    n within LSH's broadcast  ``lsh`` — the auto table ladder
-    kernel regime (raw bytes  (``auto_lsh_tables``: L ~ n^0.22) holds
-    ≤ score cap: ~500k @ d64) recall 0.95-0.97 through the measured
-    and target ≤ 0.97         decades (0.9699 at 200k, SCALING.md r9)
+    n ≤ the 32-table ladder   ``lsh`` — the auto table ladder
+    cap (~2M) and             (``auto_lsh_tables``: L ~ n^0.22) holds
+    target ≤ 0.97             recall through the measured decades
+                              (0.9699 at 200k r9; 0.9935 at 2M r11)
                               with the cheapest candidate generation
-                              of the tiers.
-    same region,              ``ivf`` — exact scan of probed cells;
-    target > 0.97             the 7/8 probe fraction measured 0.97+
+                              of the tiers. Within the raw-matrix
+                              byte cap (~500k @ d64) the broadcast
+                              scan kernel runs; past it the r11
+                              SHARDED grid kernel — measured at 2M:
+                              103 ms/query, ~10× faster than pq/ivfpq
+                              at the same cell (the r10 byte-cap
+                              handoff existed only because the old
+                              join regime disk-exhausted there).
+    n within the raw-vector   ``ivf`` — exact scan of probed cells;
+    byte cap, target > 0.97   the 7/8 probe fraction measured 0.97+
                               (``probe_fraction_for_recall``), which
                               the capped LSH ladder cannot promise.
-    past either LSH cap,      ``pq`` — MEASURED at the third decade
+                              (IVF broadcasts RAW vectors, so past
+                              the byte cap high targets fall through
+                              to the coded tiers below.)
+    past the LSH table cap,   ``pq`` — MEASURED at the third decade
     probe fraction ≥ 3/4      (r10, 2M-vector cell): at the 3/4 probe
-    (targets > 0.85)          fraction flat PQ beat IVF-PQ on wall
+    (targets > 0.85; also     fraction flat PQ beat IVF-PQ on wall
+    byte-capped targets
+    > 0.97 under 2M)
                               (1723 s vs 2002 s) AND recall (0.9610
                               vs 0.9381) — the cell filter only wins
                               when nprobe/cells is small, because at
                               high fractions the per-cell LUT gathers
                               cost what the flat tournament costs
                               while still paying cell bookkeeping.
-    past either LSH cap,      ``ivfpq`` — the cell filter's regime:
+    past the LSH table cap,   ``ivfpq`` — the cell filter's regime:
     probe fraction < 3/4      per-query scan cost ~n·nprobe/cells;
-    (targets ≤ 0.85;          past the byte cap LSH's join regime
-    byte cap ~500k @ d64,
-    table cap 2M)             shipped vectors through the pair join
-                              and spilled >60 GB at 2M vectors, while
-                              IVF-PQ codes (64× smaller) stay
-                              broadcast; the broadcast-vs-cell-sharded
-                              regime switch is byte-cap driven inside
+    (targets ≤ 0.85)          IVF-PQ codes (64× smaller than raw)
+                              stay broadcast to ~16M vectors; the
+                              broadcast-vs-packed-shard regime switch
+                              is byte-cap driven inside
                               ``ivfpq_topk``, and rerank follows the
                               measured √n iso-recall contour.
     ========================  =========================================
@@ -66,7 +75,11 @@ from pyspark.sql import DataFrame
 
 # auto_lsh_tables caps at 32 tables, the rung its measured n^0.22
 # ladder reaches at ~2M vectors — past this LSH recall can no longer
-# be bought with tables.
+# be bought with tables. The r10 byte-cap handoff
+# (min(this, _lsh_kernel_max_n)) is GONE in r11: it existed because
+# the past-cap join regime disk-exhausted, and the sharded grid
+# kernel that replaced it MEASURED 206 s / 103 ms/query / recall
+# 0.9935 at the full 2M×2k cell — ~10× faster than pq/ivfpq there.
 LSH_DISPATCH_MAX_N = 2_000_000
 
 # the highest recall the capped LSH ladder is measured to deliver at
@@ -141,8 +154,15 @@ def choose_ann_tier(
         if index_complete:
             return "standing"
     t = 0.9 if target_recall is None else target_recall
-    if n <= min(LSH_DISPATCH_MAX_N, _lsh_kernel_max_n(dim)):
-        return "lsh" if t <= LSH_DISPATCH_MAX_RECALL else "ivf"
+    if n <= LSH_DISPATCH_MAX_N and t <= LSH_DISPATCH_MAX_RECALL:
+        # through the 32-table ladder cap: broadcast kernel under the
+        # byte cap, the r11 sharded grid kernel past it (measured
+        # 103 ms/query, recall 0.9935 at the 2M cell)
+        return "lsh"
+    if n <= _lsh_kernel_max_n(dim) and t > LSH_DISPATCH_MAX_RECALL:
+        # targets the LSH ladder cannot promise, corpus small enough
+        # to broadcast RAW vectors: exact probed-cell scan
+        return "ivf"
     from udacity_capstone_data_engineering_spark.operators.pq import (
         probe_fraction_for_recall,
     )
