@@ -495,6 +495,10 @@ def test_no_cartesian_anywhere_and_bnlj_only_where_documented(spark, sf_dir):
         # r10: the dispatch facade's recall gate — same documented
         # brute-force anchor + 1-row hits x totals cross join
         "ann_auto_dispatch",
+        # r11: the truth-build receipt joins the two 1-row pair-count
+        # aggregates (64-dim x 16-dim artifacts) — the same bounded
+        # 1-row x 1-row cross-join shape as the recall gates above
+        "ann_exact_truth_build",
     }
     offenders_cart, offenders_bnlj = [], []
     for name, (fn, _) in sorted(_REGISTRY.items()):
