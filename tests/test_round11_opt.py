@@ -1,0 +1,138 @@
+"""Round-11 optimization tests: the brute-force top-k margin kernel.
+
+``brute_force_topk``'s r11 fast path cuts the n² pair stream to ~n·k
+margin candidates inside one Arrow scan (guide §2.3 "shuffle fewer
+bytes" / §4.2). These tests pin the contract that makes it safe:
+
+  - row-identical output vs the n² pair plan on a clean corpus
+    (values compared exactly — the rounding-margin lemma in
+    ``_topk_margin_candidates``'s docstring);
+  - fallback (kernel returns None) on every degenerate shape whose
+    NULL-cosine semantics only the n² plan implements.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from udacity_capstone_data_engineering_spark.operators import similarity
+from udacity_capstone_data_engineering_spark.operators.similarity import (
+    _pairwise_cosine,
+    _topk_margin_candidates,
+    brute_force_topk,
+)
+from pyspark.sql import Window
+
+
+def _slow_topk(emb, id_col, vec_col, k):
+    """The pre-r11 n² plan, verbatim."""
+    scored = _pairwise_cosine(emb, id_col, vec_col, None)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def _clean_corpus(spark, n=60, dim=8):
+    """Deterministic corpus with many near-ties (md5-derived values in
+    a coarse grid, so rounded-cosine ties with id tie-breaks occur)."""
+    import hashlib
+
+    rows = []
+    for i in range(n):
+        vec = []
+        for d in range(dim):
+            h = int(
+                hashlib.md5(f"tkm:{i}:{d}".encode()).hexdigest()[:8], 16
+            )
+            vec.append((h % 17) - 8.0)
+        if all(v == 0 for v in vec):
+            vec[0] = 1.0
+        rows.append((i, vec))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_topk_kernel_rows_identical_to_pair_plan(spark):
+    emb = _clean_corpus(spark)
+    fast = brute_force_topk(emb, "vec_id", "embedding", k=5)
+    slow = _slow_topk(emb, "vec_id", "embedding", 5)
+    key = lambda r: (r["query_id"], r["rnk"])
+    got = sorted(fast.collect(), key=key)
+    want = sorted(slow.collect(), key=key)
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # the fast path really engaged (kernel eligible on this corpus)
+    assert _topk_margin_candidates(emb, "vec_id", "embedding", 5) is not None
+
+
+def test_topk_kernel_sf_corpus_identical(spark, sf_dir):
+    from udacity_capstone_data_engineering_spark.sources.catalog import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fast = brute_force_topk(emb, "vec_id", "embedding", k=5)
+    slow = _slow_topk(emb, "vec_id", "embedding", 5)
+    key = lambda r: (r["query_id"], r["rnk"])
+    got = sorted(fast.collect(), key=key)
+    want = sorted(slow.collect(), key=key)
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_topk_kernel_falls_back_on_degenerate_rows(spark):
+    # NULL vector
+    bad_null = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, None), (2, [0.5, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    assert _topk_margin_candidates(bad_null, "vec_id", "embedding", 1) is None
+    # ragged dimension
+    bad_ragged = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0]), (2, [0.5, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    assert (
+        _topk_margin_candidates(bad_ragged, "vec_id", "embedding", 1) is None
+    )
+    # zero-norm row (NULL cosine semantics)
+    bad_zero = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [0.0, 0.0]), (2, [0.5, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    assert _topk_margin_candidates(bad_zero, "vec_id", "embedding", 1) is None
+    # non-long ids would flip the output schema
+    bad_ids = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("b", [0.5, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    assert _topk_margin_candidates(bad_ids, "vec_id", "embedding", 1) is None
+    # corpora with <= k rows have no k-th raw score to cut at
+    tiny = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [0.5, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    assert _topk_margin_candidates(tiny, "vec_id", "embedding", 5) is None
+    # and brute_force_topk still answers through the fallback plan
+    out = brute_force_topk(bad_zero, "vec_id", "embedding", k=1)
+    assert out.count() == 3
+
+
+def test_topk_kernel_fast_path_in_plan(spark, sf_dir):
+    """The sf corpus takes the kernel: plan shows MapInPandas and no
+    per-pair ArrowEvalPython / nested-loop pair join."""
+    from udacity_capstone_data_engineering_spark.sources.catalog import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = brute_force_topk(
+        emb, "vec_id", "embedding", k=5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -230,6 +230,136 @@ def _pairwise_cosine(
     )
 
 
+# Safety margin for the top-k kernel's candidate cut (see
+# _topk_margin_candidates): ranking happens on round(cosine, 6), and
+# |round(x) - x| <= 5e-7, so a candidate can out-rank the k-th raw
+# score by at most 1e-6 after rounding. 2e-6 doubles that bound so a
+# float comparison at the boundary can never exclude a true top-k row.
+_TOPK_ROUND_MARGIN = 2e-6
+
+
+def _topk_margin_candidates(
+    emb: DataFrame, id_col: str, vec_col: str, k: int
+) -> DataFrame | None:
+    """Self-top-k fast path (r11, guide §2.3/§4.2): emit only the
+    ~n·k candidate pairs that can possibly survive the rounded-cosine
+    ranking, instead of materializing all n² pairs through the Arrow
+    scorer and shuffling them into the window.
+
+    The per-pair kernel (``_exact_cosine_kernel_pairs``) is already
+    broadcast-based, but the PAIR STREAM it scores is n² rows: at the
+    2 000-vector gate corpus that is 4M rows crossing Arrow both ways
+    plus a 4M-row exchange for the rank window — measured 12.3 s for
+    ``embedding_cosine_topk`` (r10 bench), ~1 s of which is arithmetic.
+    Here each query row scores against the SAME broadcast matrix with
+    the SAME left-to-right dim accumulation (bit-identical doubles, see
+    below) and locally cuts to the candidates with raw cosine within
+    ``_TOPK_ROUND_MARGIN`` of the k-th largest.  Downstream rounding +
+    window ranking is unchanged, so the final rows are provably the
+    rows the n² plan produces:
+
+      ranking is by round(raw, 6) DESC with |round(x)-x| <= 5e-7, so
+      any candidate that beats the k-th by rounded order satisfies
+      raw >= raw_k - 1e-6, where raw_k is the k-th largest raw score —
+      every such row is kept (margin 2e-6), ties included.
+
+    Returns the slim (query_id, neighbor_id, cosine_raw) relation, or
+    None when the corpus is not eligible — over the broadcast byte
+    cap, fewer than k+1 rows, or ANY degenerate row (NULL / ragged /
+    non-finite / zero-norm vectors, duplicate ids), in which case the
+    caller falls back to the n² pair plan whose NULL-cosine semantics
+    the degenerate rows need."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    spark = emb.sparkSession
+    # The kernel emits query_id/neighbor_id as LONG; any other id type
+    # would flip the result schema vs the n² plan — fall back.
+    if not isinstance(emb.schema[id_col].dataType, LongType):
+        return None
+    head = emb.select(F.size(F.col(vec_col)).alias("d")).head()
+    if head is None or head["d"] is None:
+        return None
+    dim = int(head["d"])
+    if dim <= 0:
+        return None
+    max_rows = BROADCAST_SCORE_MAX_BYTES // (8 * dim)
+    pdf = (
+        emb.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .limit(max_rows + 1)
+        .toPandas()
+    )
+    n = len(pdf)
+    if n > max_rows or n <= k:  # over the cap / fewer than k neighbors
+        return None
+    vecs = pdf.iloc[:, 1]
+    if vecs.isna().any():
+        return None
+    lens = vecs.map(len).to_numpy()
+    if (lens != dim).any():
+        return None
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    if len(np.unique(ids)) != n:
+        return None
+    mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+    if not np.isfinite(mat).all():
+        return None
+    sumsq = np.zeros(n)
+    for i in range(dim):  # left-to-right, matching the JVM fold
+        sumsq = sumsq + mat[:, i] * mat[:, i]
+    if (sumsq <= 0).any():  # zero-norm rows score NULL in the slow path
+        return None
+    index = {int(v): p for p, v in enumerate(ids)}
+    bc = _kernel_broadcast(spark, index, mat, sumsq)
+
+    def gen(batches):
+        idx, m, sq = bc.value
+        nn, d = m.shape
+        inv = np.empty(nn, dtype=np.int64)
+        for vid, pos in idx.items():
+            inv[pos] = vid
+        roots = np.sqrt(sq)
+        # <=64 MB of double score scratch per block regardless of n
+        block = max(8, (8 << 20) // max(nn, 1))
+        for pdf_in in batches:
+            qids = pdf_in["query_id"].to_numpy(dtype=np.int64)
+            for s in range(0, len(qids), block):
+                qb = qids[s : s + block]
+                qi = np.fromiter(
+                    (idx[int(v)] for v in qb), dtype=np.int64, count=len(qb)
+                )
+                qm = m[qi]
+                acc = np.zeros((len(qb), nn))
+                for i in range(d):  # left-to-right per pair, as the
+                    # pair kernel's fold — bit-identical accumulation
+                    acc = acc + qm[:, i][:, None] * m[:, i][None, :]
+                denom = roots[qi][:, None] * roots[None, :]
+                scores = acc / denom
+                scores[np.arange(len(qb)), qi] = -np.inf  # exclude self
+                kth = np.partition(scores, nn - k, axis=1)[:, nn - k]
+                keep = scores >= (kth - _TOPK_ROUND_MARGIN)[:, None]
+                rows, cols = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "query_id": qb[rows],
+                        "neighbor_id": inv[cols],
+                        "cosine_raw": scores[rows, cols],
+                    }
+                )
+
+    from udacity_capstone_data_engineering_spark.sources.catalog import (
+        fan_out_small_scan,
+    )
+
+    qsrc = fan_out_small_scan(
+        emb.select(F.col(id_col).alias("query_id"))
+    )
+    return qsrc.mapInPandas(
+        gen, schema="query_id long, neighbor_id long, cosine_raw double"
+    )
+
+
 def brute_force_topk(
     emb: DataFrame,
     id_col: str,
@@ -238,10 +368,23 @@ def brute_force_topk(
     queries: DataFrame | None = None,
 ) -> DataFrame:
     """Exact top-k nearest neighbors by cosine (ties → lower id first)."""
-    scored = _pairwise_cosine(emb, id_col, vec_col, queries)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
+    if queries is None:
+        fast = _topk_margin_candidates(emb, id_col, vec_col, k)
+        if fast is not None:
+            return (
+                fast.select(
+                    "query_id",
+                    "neighbor_id",
+                    F.round("cosine_raw", 6).alias("cosine"),
+                )
+                .withColumn("rnk", F.row_number().over(w))
+                .filter(F.col("rnk") <= k)
+                .select("query_id", "neighbor_id", "cosine", "rnk")
+            )
+    scored = _pairwise_cosine(emb, id_col, vec_col, queries)
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
