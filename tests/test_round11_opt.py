@@ -123,6 +123,49 @@ def test_topk_kernel_falls_back_on_degenerate_rows(spark):
     assert out.count() == 3
 
 
+def test_threshold_kernel_rows_identical(spark, sf_dir):
+    """embedding_dup_pairs' threshold kernel emits exactly the pairs
+    the n² kernel plan's raw-double filter keeps."""
+    from udacity_capstone_data_engineering_spark.operators.similarity import (
+        _exact_cosine_kernel_pairs,
+        _threshold_pairs_kernel,
+    )
+    from udacity_capstone_data_engineering_spark.sources.catalog import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fast = _threshold_pairs_kernel(emb, "vec_id", "embedding", 0.4)
+    assert fast is not None
+    fast = fast.select(
+        "query_id", "neighbor_id", F.round("cosine_raw", 6).alias("cosine")
+    )
+    slow = (
+        _exact_cosine_kernel_pairs(emb, "vec_id", "embedding", 64, ordered=True)
+        .filter(F.col("cosine_raw") >= 0.4)
+        .select(
+            "query_id", "neighbor_id", F.round("cosine_raw", 6).alias("cosine")
+        )
+    )
+    key = lambda r: (r["query_id"], r["neighbor_id"])
+    got = sorted(fast.collect(), key=key)
+    want = sorted(slow.collect(), key=key)
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) > 0
+
+
+def test_threshold_kernel_falls_back_on_degenerate(spark):
+    from udacity_capstone_data_engineering_spark.operators.similarity import (
+        _threshold_pairs_kernel,
+    )
+
+    bad = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, None), (2, [0.5, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    assert _threshold_pairs_kernel(bad, "vec_id", "embedding", 0.4) is None
+
+
 def test_topk_kernel_fast_path_in_plan(spark, sf_dir):
     """The sf corpus takes the kernel: plan shows MapInPandas and no
     per-pair ArrowEvalPython / nested-loop pair join."""

@@ -238,6 +238,54 @@ def _pairwise_cosine(
 _TOPK_ROUND_MARGIN = 2e-6
 
 
+def _strict_kernel_matrix(emb: DataFrame, id_col: str, vec_col: str):
+    """Collect ``(ids, mat, sumsq)`` for the self-pair fast kernels —
+    or None when ANY row is degenerate (NULL / ragged / non-finite /
+    zero-norm vectors, duplicate or non-long ids) or the corpus is
+    over ``BROADCAST_SCORE_MAX_BYTES``: those shapes carry NULL-cosine
+    semantics only the n² pair plan implements, so callers fall back.
+    ``sumsq`` accumulates left-to-right per dimension, matching the
+    JVM fold bit-for-bit."""
+    import numpy as np
+    from pyspark.sql.types import LongType
+
+    if not isinstance(emb.schema[id_col].dataType, LongType):
+        return None
+    head = emb.select(F.size(F.col(vec_col)).alias("d")).head()
+    if head is None or head["d"] is None:
+        return None
+    dim = int(head["d"])
+    if dim <= 0:
+        return None
+    max_rows = BROADCAST_SCORE_MAX_BYTES // (8 * dim)
+    pdf = (
+        emb.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .limit(max_rows + 1)
+        .toPandas()
+    )
+    n = len(pdf)
+    if n == 0 or n > max_rows:
+        return None
+    vecs = pdf.iloc[:, 1]
+    if vecs.isna().any() or pdf[id_col].isna().any():
+        return None
+    lens = vecs.map(len).to_numpy()
+    if (lens != dim).any():
+        return None
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    if len(np.unique(ids)) != n:
+        return None
+    mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+    if not np.isfinite(mat).all():
+        return None
+    sumsq = np.zeros(n)
+    for i in range(dim):  # left-to-right, matching the JVM fold
+        sumsq = sumsq + mat[:, i] * mat[:, i]
+    if (sumsq <= 0).any():  # zero-norm rows score NULL in the slow path
+        return None
+    return ids, mat, sumsq
+
+
 def _topk_margin_candidates(
     emb: DataFrame, id_col: str, vec_col: str, k: int
 ) -> DataFrame | None:
@@ -271,44 +319,14 @@ def _topk_margin_candidates(
     the degenerate rows need."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql.types import LongType
 
     spark = emb.sparkSession
-    # The kernel emits query_id/neighbor_id as LONG; any other id type
-    # would flip the result schema vs the n² plan — fall back.
-    if not isinstance(emb.schema[id_col].dataType, LongType):
+    got = _strict_kernel_matrix(emb, id_col, vec_col)
+    if got is None:
         return None
-    head = emb.select(F.size(F.col(vec_col)).alias("d")).head()
-    if head is None or head["d"] is None:
-        return None
-    dim = int(head["d"])
-    if dim <= 0:
-        return None
-    max_rows = BROADCAST_SCORE_MAX_BYTES // (8 * dim)
-    pdf = (
-        emb.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
-        .limit(max_rows + 1)
-        .toPandas()
-    )
-    n = len(pdf)
-    if n > max_rows or n <= k:  # over the cap / fewer than k neighbors
-        return None
-    vecs = pdf.iloc[:, 1]
-    if vecs.isna().any():
-        return None
-    lens = vecs.map(len).to_numpy()
-    if (lens != dim).any():
-        return None
-    ids = pdf[id_col].to_numpy(dtype=np.int64)
-    if len(np.unique(ids)) != n:
-        return None
-    mat = np.vstack(vecs.to_numpy()).astype(np.float64)
-    if not np.isfinite(mat).all():
-        return None
-    sumsq = np.zeros(n)
-    for i in range(dim):  # left-to-right, matching the JVM fold
-        sumsq = sumsq + mat[:, i] * mat[:, i]
-    if (sumsq <= 0).any():  # zero-norm rows score NULL in the slow path
+    ids, mat, sumsq = got
+    n = len(ids)
+    if n <= k:  # fewer than k neighbors: NULL-padding is the n² plan's
         return None
     index = {int(v): p for p, v in enumerate(ids)}
     bc = _kernel_broadcast(spark, index, mat, sumsq)
@@ -355,6 +373,73 @@ def _topk_margin_candidates(
     qsrc = fan_out_small_scan(
         emb.select(F.col(id_col).alias("query_id"))
     )
+    return qsrc.mapInPandas(
+        gen, schema="query_id long, neighbor_id long, cosine_raw double"
+    )
+
+
+def _threshold_pairs_kernel(
+    emb: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame | None:
+    """Ordered self-pairs (id_a < id_b) with RAW cosine >= threshold,
+    computed inside one Arrow scan against the broadcast matrix — the
+    exact-tier near-dup shape (``embedding_dup_pairs``). The n² plan
+    filters on the UNROUNDED kernel double, and this kernel reproduces
+    that double bit-for-bit (same left-to-right accumulation, same
+    sqrt/divide), so emitting only passing pairs is exactly the
+    filter — no margin lemma needed. Pairs with a degenerate side
+    score NULL in the n² plan and NULL fails the >= filter, so those
+    rows were never emitted there either; still, degenerate corpora
+    fall back (None) so both plans stay row-identical everywhere.
+    Returns (query_id, neighbor_id, cosine_raw) or None if ineligible."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    got = _strict_kernel_matrix(emb, id_col, vec_col)
+    if got is None:
+        return None
+    ids, mat, sumsq = got
+    index = {int(v): p for p, v in enumerate(ids)}
+    bc = _kernel_broadcast(spark, index, mat, sumsq)
+
+    def gen(batches):
+        idx, m, sq = bc.value
+        nn, d = m.shape
+        inv = np.empty(nn, dtype=np.int64)
+        for vid, pos in idx.items():
+            inv[pos] = vid
+        roots = np.sqrt(sq)
+        block = max(8, (8 << 20) // max(nn, 1))
+        for pdf_in in batches:
+            qids = pdf_in["query_id"].to_numpy(dtype=np.int64)
+            for s in range(0, len(qids), block):
+                qb = qids[s : s + block]
+                qi = np.fromiter(
+                    (idx[int(v)] for v in qb), dtype=np.int64, count=len(qb)
+                )
+                qm = m[qi]
+                acc = np.zeros((len(qb), nn))
+                for i in range(d):  # left-to-right per pair
+                    acc = acc + qm[:, i][:, None] * m[:, i][None, :]
+                scores = acc / (roots[qi][:, None] * roots[None, :])
+                keep = (scores >= threshold) & (
+                    qb[:, None] < inv[None, :]  # ordered pairs only
+                )
+                rows, cols = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "query_id": qb[rows],
+                        "neighbor_id": inv[cols],
+                        "cosine_raw": scores[rows, cols],
+                    }
+                )
+
+    from udacity_capstone_data_engineering_spark.sources.catalog import (
+        fan_out_small_scan,
+    )
+
+    qsrc = fan_out_small_scan(emb.select(F.col(id_col).alias("query_id")))
     return qsrc.mapInPandas(
         gen, schema="query_id long, neighbor_id long, cosine_raw double"
     )

@@ -737,9 +737,24 @@ def embedding_dup_pairs(spark, sf_dir):
     from udacity_capstone_data_engineering_spark.operators.similarity import (
         BROADCAST_SCORE_MAX_BYTES,
         _exact_cosine_kernel_pairs,
+        _threshold_pairs_kernel,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # r11 perf (guide §2.3): the threshold kernel emits ONLY passing
+    # ordered pairs from one Arrow scan — the n² pair stream and its
+    # per-pair Arrow crossing are gone. The filter compares the same
+    # UNROUNDED left-to-right double the pair kernel computed, so the
+    # emitted set is exactly the filtered set (degenerate corpora fall
+    # back to the r7 pair-kernel / expression plans below, whose NULL
+    # semantics they need).
+    fast = _threshold_pairs_kernel(emb, "vec_id", "embedding", 0.4)
+    if fast is not None:
+        return fast.select(
+            F.col("query_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            F.round("cosine_raw", 6).alias("cosine"),
+        )
     # r7 perf, bit-identical floats: under the broadcast cap the pairs
     # score through the exact-accumulation Arrow kernel (left-to-right
     # dim loop == the JVM fold == the oracle's list_dot_product; the
