@@ -120,11 +120,15 @@ def build_ann_index(
         "fit_sample": fit_sample,
         "id_sum": id_sum,
     }
-    spark.createDataFrame(
+    from udacity_capstone_data_engineering_spark.session import local_df
+
+    local_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
         "cid int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    spark.createDataFrame(
+    local_df(
+        spark,
         [
             (s, c, [float(x) for x in books[s, c]])
             for s in range(books.shape[0])
@@ -137,7 +141,8 @@ def build_ann_index(
     # sentinel — an interrupted build must leave NO meta behind
     # (ADVICE r9: meta-first left a half artifact serve rows accepted
     # and then crashed on).
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(n, dim, m, ksub, n_centroids, seed, fit_sample, id_sum)],
         "n long, dim int, m int, ksub int, n_centroids int, seed int, "
         "fit_sample int, id_sum long",
@@ -255,7 +260,10 @@ def append_ann_index(
     # meta rewrite is last (the completion sentinel): a crash mid-append
     # leaves the old meta in place, and the staleness guard then flags
     # the n/codes divergence on the next serve.
-    spark.createDataFrame(
+    from udacity_capstone_data_engineering_spark.session import local_df
+
+    local_df(
+        spark,
         [
             (
                 n_new,

@@ -695,11 +695,13 @@ def _sharded_ivfpq_candidates(
     mapping_rows, n_shards, nsub = _pack_cells_to_shards(
         counts, row_bytes, eff_cap
     )
-    mapping = spark.createDataFrame(
-        mapping_rows or [(0, 0, 0)], "cell int, __sub int, __shard int"
+    from udacity_capstone_data_engineering_spark.session import local_df
+
+    mapping = local_df(
+        spark, mapping_rows or [(0, 0, 0)], "cell int, __sub int, __shard int"
     )
-    nsub_df = spark.createDataFrame(
-        sorted(nsub.items()) or [(0, 1)], "cell int, __nsub int"
+    nsub_df = local_df(
+        spark, sorted(nsub.items()) or [(0, 1)], "cell int, __nsub int"
     )
     coded = (
         coded_cells.join(F.broadcast(nsub_df), "cell")
@@ -713,7 +715,8 @@ def _sharded_ivfpq_candidates(
     # an INDEPENDENT cell→shard relation for the probe side (sharing
     # the `mapping` frame across both cogroup lineages trips Spark's
     # ambiguous-self-join analysis on __shard)
-    probe_mapping = spark.createDataFrame(
+    probe_mapping = local_df(
+        spark,
         sorted({(c, s) for c, _j, s in mapping_rows}) or [(0, 0)],
         "cell int, __shard int",
     )

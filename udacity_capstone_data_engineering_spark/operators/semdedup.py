@@ -300,7 +300,10 @@ def build_semantic_index(
         "dim": dim,
         "n_standing": n_standing,
     }
-    spark.createDataFrame(
+    from udacity_capstone_data_engineering_spark.session import local_df
+
+    local_df(
+        spark,
         [(i, list(c)) for i, c in enumerate(cents)],
         "cid int, centroid array<long>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
@@ -310,7 +313,8 @@ def build_semantic_index(
     # meta last: it is the completion sentinel the build-if-absent
     # serve gates key on — an interrupted build must not leave a
     # meta-bearing half artifact behind (ADVICE r9).
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(k, iterations, scale, dim, n_standing)],
         "k int, iterations int, scale long, dim int, n_standing long",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")

@@ -23,6 +23,7 @@ import os
 from pyspark.sql import functions as F
 
 from udacity_capstone_data_engineering_spark.queries import _register
+from udacity_capstone_data_engineering_spark.session import local_df
 from udacity_capstone_data_engineering_spark.queries_phase12 import (
     _SEM_INC_MOD,
     artifact_base,
@@ -83,7 +84,8 @@ def ann_index_build(spark, sf_dir):
         emb, "vec_id", "embedding", _ANN_DIM, base, m=_ANN_M, ksub=_ANN_KSUB
     )
     n_coded = spark.read.parquet(f"{base}/codes").count()
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [
             (
                 meta["n"],
@@ -230,7 +232,8 @@ def ann_index_append(spark, sf_dir):
         spark.read.parquet(f"{base}/meta").head().asDict()["n"]
     )
     assert meta_n == receipt["n_new"]
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [
             (
                 receipt["n_old"],
@@ -284,7 +287,8 @@ def semantic_dedup_index_build(spark, sf_dir):
     base = artifact_base(spark, sf_dir, "sem_index")
     shutil.rmtree(base, ignore_errors=True)
     meta = build_semantic_index(standing, "vec_id", "embedding", base, k=None)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(meta["k"], meta["scale"], meta["dim"], meta["n_standing"])],
         "k long, scale long, dim int, n_standing long",
     )

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 
 def object_store_conf(
@@ -121,6 +121,47 @@ def session_builder(
 def get_spark(**kwargs) -> SparkSession:
     """Create or reuse the engine SparkSession."""
     return session_builder(**kwargs).getOrCreate()
+
+
+def local_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """JVM-friendly local relation for receipts and artifact relations
+    (guide §4.1: control how data crosses the Python boundary).
+
+    ``createDataFrame(list, schema)`` parallelizes the PICKLED rows over
+    every default-parallelism slot, and each mostly-empty partition pays
+    a Python-worker round-trip (~140 ms here). A downstream
+    ``coalesce(1)`` artifact write evaluates all those parents SERIALLY
+    inside one task — measured 4.5 s for a ONE-ROW relation (r11 job
+    breakdown of ``ann_index_build``: three such writes were 13.4 s of
+    its 17.5 s wall). The Arrow path ships the rows as one record batch
+    into the JVM (a 1-partition scan, ~0.2 s); when Arrow is off (a
+    vanilla consumer session), ``parallelize(rows, 1)`` keeps it to a
+    single Python round-trip (~0.3 s). Values and schema are identical
+    in all three regimes — only the partitioning of the local relation
+    changes."""
+    rows = list(rows)
+    if not rows:
+        return spark.createDataFrame(rows, schema=schema)
+    if (
+        spark.conf.get("spark.sql.execution.arrow.pyspark.enabled", "false")
+        == "true"
+    ):
+        try:
+            import pandas as pd
+            from pyspark.sql.types import _parse_datatype_string
+
+            st = (
+                _parse_datatype_string(schema)
+                if isinstance(schema, str)
+                else schema
+            )
+            pdf = pd.DataFrame(rows, columns=st.fieldNames())
+            return spark.createDataFrame(pdf, schema=st)
+        except Exception:
+            pass  # exotic types: fall through to the 1-slice pickle path
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema=schema
+    )
 
 
 _SHIPPED_CONTEXTS: set[str] = set()

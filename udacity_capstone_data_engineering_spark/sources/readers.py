@@ -111,8 +111,16 @@ def read_sas(spark: SparkSession, path: str) -> DataFrame:
 def table_from_rows(
     spark: SparkSession, rows: Iterable[tuple], schema: StructType | str
 ) -> DataFrame:
-    """In-memory dimension table from literal rows + explicit schema (S7)."""
-    return spark.createDataFrame(list(rows), schema=schema)
+    """In-memory dimension table from literal rows + explicit schema (S7).
+
+    Routed through ``session.local_df`` (r11): the default
+    ``createDataFrame(list)`` spreads the pickled rows over every
+    default-parallelism slot and each near-empty partition pays a
+    Python-worker round-trip — a dimension table of a dozen rows does
+    not need 32 Python partitions."""
+    from udacity_capstone_data_engineering_spark.session import local_df
+
+    return local_df(spark, list(rows), schema)
 
 
 def read_text(
