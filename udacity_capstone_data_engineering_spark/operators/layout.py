@@ -94,23 +94,60 @@ def with_zorder_key(
             for c, a in zip(cols, fence_aliases)
         ]
     )
-    buckets = []
-    for c, a in zip(cols, fence_aliases):
-        kd = _key_as_double(df, F.col(c))
-        arr = F.col(a)
-        buckets.append(
-            F.when(kd.isNull(), F.lit(0))
-            .otherwise(
-                F.coalesce(
-                    F.size(F.filter(arr, lambda f: f < kd)), F.lit(0)
+    # Bucket id = count of fences strictly below kd. The fences are
+    # sorted (non-decreasing quantiles), so that count equals the
+    # largest 1-based index with arr[idx] < kd — found by a BINARY
+    # SEARCH unrolled into ``bits`` chained PROJECTIONS (one element_at
+    # probe + compare + add per level, each level bound as a real
+    # column so the next references an attribute, never a copy of the
+    # subtree: inlining the recurrence builds a 3^bits expression tree
+    # that took Catalyst ~70 s to ANALYZE, the `_assign` r5 trap; and
+    # morton_interleave references each bucket ``bits`` times, which
+    # multiplied the old spelling again). The previous spelling —
+    # size(filter(arr, f -> f < kd)) — walked all 2^bits-1 fences per
+    # row per column per reference through the interpreted
+    # higher-order-function path: measured 2x ~2.2 s of
+    # zorder_layout_roundtrip's wall at sf0.1 (r11). Exactness: arr[i]
+    # < kd is monotone non-increasing in i; lo+step never exceeds
+    # 2^bits-1 (the remaining steps sum to 2*step-1); a NULL/NaN kd or
+    # NULL fence row compares false/null everywhere so lo stays 0 —
+    # the same bucket the old NULL guards produced.
+    kd_cols = [f"__z_kd{j}" for j in range(len(cols))]
+    lo_cols = [f"__z_lo{j}" for j in range(len(cols))]
+    out = df.crossJoin(F.broadcast(fence_row)).select(
+        "*",
+        *[
+            _key_as_double(df, F.col(c)).alias(kdc)
+            for c, kdc in zip(cols, kd_cols)
+        ],
+        *[F.lit(0).cast("long").alias(lc) for lc in lo_cols],
+    )
+    keep = [c for c in out.columns if c not in set(lo_cols)]
+    for level in range(bits - 1, -1, -1):
+        step = F.lit(1 << level)
+        out = out.select(
+            *keep,
+            *[
+                F.when(
+                    F.element_at(
+                        F.col(a), (F.col(lc) + step).cast("int")
+                    )
+                    < F.col(kdc),
+                    F.col(lc) + step,
                 )
-            )
-            .cast("long")
+                .otherwise(F.col(lc))
+                .alias(lc)
+                for a, kdc, lc in zip(fence_aliases, kd_cols, lo_cols)
+            ],
         )
-    return (
-        df.crossJoin(F.broadcast(fence_row))
-        .withColumn(out_col, morton_interleave(buckets, bits))
-        .drop(*fence_aliases)
+    buckets = [
+        F.when(F.col(kdc).isNull(), F.lit(0).cast("long")).otherwise(
+            F.col(lc)
+        )
+        for kdc, lc in zip(kd_cols, lo_cols)
+    ]
+    return out.withColumn(out_col, morton_interleave(buckets, bits)).drop(
+        *fence_aliases, *kd_cols, *lo_cols
     )
 
 
