@@ -179,3 +179,108 @@ def test_topk_kernel_fast_path_in_plan(spark, sf_dir):
     )._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# r11: _unit_vectors Arrow kernel — bit-equal to the old JVM expression
+# ---------------------------------------------------------------------------
+
+
+def _jvm_unit_vectors(emb, id_col, vec_col):
+    """The pre-r11 interpreted-HOF normalize, verbatim."""
+    from udacity_capstone_data_engineering_spark.functions.vectors import (
+        l2_norm,
+    )
+
+    return emb.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).select(
+        F.col(id_col),
+        F.col("__v"),
+        l2_norm(F.col("__v")).alias("__n"),
+    ).select(
+        F.col(id_col),
+        F.when(
+            F.col("__n") > 0,
+            F.transform(F.col("__v"), lambda x: x / F.col("__n")),
+        ).alias("uv"),
+    )
+
+
+def _uv_repr(rows):
+    # repr distinguishes NULL vs NaN and preserves the double bits via
+    # the shortest round-trip decimal form.
+    return {r[0]: repr(r[1]) for r in rows}
+
+
+def test_unit_vectors_kernel_bit_equal(spark, sf_dir):
+    from udacity_capstone_data_engineering_spark.operators.similarity import (
+        _unit_vectors,
+    )
+    from udacity_capstone_data_engineering_spark.sources.catalog import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = _uv_repr(_jvm_unit_vectors(emb, "vec_id", "embedding").collect())
+    new = _uv_repr(_unit_vectors(emb, "vec_id", "embedding").collect())
+    assert old == new and len(old) > 0
+
+
+def test_unit_vectors_kernel_degenerate_semantics(spark):
+    """NULL vector / NULL element / zero norm → NULL uv; NaN and ±inf
+    elements propagate exactly as the JVM expression (Spark compares
+    NaN greater than any number, so a NaN norm PASSES the > 0 gate)."""
+    from udacity_capstone_data_engineering_spark.operators.similarity import (
+        _unit_vectors,
+    )
+
+    rows = [
+        (1, [3.0, 4.0]),
+        (2, None),
+        (3, [0.0, 0.0]),
+        (4, [1.0]),
+        (5, []),
+        (6, [float("nan"), 1.0]),
+        (7, [float("inf"), 1.0]),
+        (8, [None, 2.0]),
+        (9, [1.0, 2.0, 3.0]),  # ragged vs row 1/4 — per-length groups
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    old = _uv_repr(_jvm_unit_vectors(df, "vec_id", "embedding").collect())
+    new = _uv_repr(_unit_vectors(df, "vec_id", "embedding").collect())
+    assert old == new
+
+
+def test_minhash_rows_outer_explode_identical(spark, sf_dir):
+    """minhash_rows' posexplode_outer + generated-column filter emits
+    exactly the rows the plain posexplode did — and its physical plan
+    no longer re-evaluates the signature fold inside a pushed filter
+    (the 18.6 s → 0.5 s r11 fix)."""
+    from udacity_capstone_data_engineering_spark.operators.dedup import (
+        minhash_signatures,
+    )
+    from udacity_capstone_data_engineering_spark import queries as catalog
+    from udacity_capstone_data_engineering_spark.sources.catalog import (
+        fan_out_small_scan,
+        load_table,
+    )
+
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(docs, "text", "doc_id")
+    plain = sigs.select(
+        "doc_id", F.posexplode("signature").alias("seed", "minhash")
+    )
+    got = catalog.queries()["minhash_rows"](spark, sf_dir)
+    key = lambda r: (r["doc_id"], r["seed"])  # noqa: E731
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the pruning filter must sit ABOVE the generate, on the generated
+    # column — never below the projection with the HOF fold inlined
+    import re
+
+    for cond in re.findall(r"Filter \(?([^\n]*)", plan):
+        assert "lambdafunction" not in cond

@@ -60,6 +60,26 @@ def _hash_sets(df: DataFrame, text_col: str, id_col: str, shingle_k: int) -> Dat
     return shingled.select(F.col(id_col), hset.alias("hset"))
 
 
+def _materialized_sets(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int
+) -> DataFrame:
+    """``_hash_sets`` behind a ``localCheckpoint`` plan barrier (r11,
+    guide §1.2/§3.3): both similarity joins fan the sets relation into
+    FOUR plan branches (probe prefixes, build index, verify side a,
+    verify side b), and the two ``explode`` branches additionally push
+    their implicit ``size(hset) > 0`` pruning filter below the
+    projection — so the regex tokenize + shingle + hash pipeline ran
+    up to SIX times per document (the r11 filter audit flagged the
+    1.8 KB duplicated HOF condition in ``containment_pairs``).
+    Materializing the slim (id, 8-byte-hash set) relation runs it
+    ONCE; at scale this trades one write of the hash sets (far
+    smaller than the text) against five recomputations of the
+    dominant CPU stage."""
+    return _hash_sets(df, text_col, id_col, shingle_k).localCheckpoint(
+        eager=True
+    )
+
+
 def jaccard_similarity_join(
     df: DataFrame,
     text_col: str,
@@ -74,7 +94,7 @@ def jaccard_similarity_join(
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    sets = _hash_sets(df, text_col, id_col, shingle_k)
+    sets = _materialized_sets(df, text_col, id_col, shingle_k)
 
     # Prefix length |S| - ceil(t*|S|) + 1 under the global hash order.
     # Docs with empty shingle sets (< k tokens) produce no prefix rows
@@ -140,7 +160,7 @@ def containment_join(
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    sets = _hash_sets(df, text_col, id_col, shingle_k)
+    sets = _materialized_sets(df, text_col, id_col, shingle_k)
 
     n = F.size("hset")
     plen = n - F.ceil(n * F.lit(threshold)).cast("int") + 1

@@ -86,8 +86,17 @@ def _assign(q: DataFrame, cents: list[list[int]]) -> DataFrame:
     BOTH branches, an expression tree EXPONENTIAL in k — invisible at
     the pinned k=4, a driver OOM at auto-k's k=32 (caught by the
     round-6 sf0.1 gate on `semantic_dedup_autok`)."""
-    cent_lit = F.array(
-        *[F.array(*[F.lit(int(v)).cast("long") for v in cv]) for cv in cents]
+    # r11 (guide §1.2 driver-side): the k x d literal matrix is built
+    # as ONE parsed SQL expression, not k*d F.lit() Column calls — each
+    # py4j round-trip costs ~2.5 ms, so the 4x64 matrix cost ~0.7 s of
+    # DRIVER wall per Lloyd iteration (measured; the job itself is
+    # ~0.3 s). Values and types are identical (BIGINT elements).
+    cent_lit = F.expr(
+        "CAST(array("
+        + ",".join(
+            "array(" + ",".join(str(int(v)) for v in cv) + ")" for cv in cents
+        )
+        + ") AS ARRAY<ARRAY<BIGINT>>)"
     )
     dists = F.transform(
         cent_lit,
@@ -196,12 +205,18 @@ def kmeans_int(
     init = q.orderBy("vid").limit(k).collect()
     cents = [list(r["qv"]) for r in init]
     d = len(cents[0])
+    # One parsed struct expression instead of d F.sum(element_at())
+    # Column builds per iteration (same py4j economy as cent_lit; the
+    # d=64 column list alone cost ~0.3 s of driver wall per iteration).
+    # `qv[i]` is 0-based in SQL — identical to element_at(qv, i+1).
+    sums_expr = F.expr(
+        "struct(" + ",".join(f"sum(qv[{i}]) AS s{i}" for i in range(d)) + ")"
+    ).alias("sums")
     for _ in range(iterations):
         bcs: list = []
         assign = _assign_any(q, cents, bcs)
         rows = assign.groupBy("cluster").agg(
-            F.count("*").alias("c"),
-            *[F.sum(F.element_at("qv", i + 1)).alias(f"s{i}") for i in range(d)],
+            F.count("*").alias("c"), sums_expr
         ).collect()
         # The collect fully consumed this iteration's assignment —
         # release its centroid broadcast (ADVICE r6: they otherwise
@@ -213,9 +228,23 @@ def kmeans_int(
             r = by_cid.get(cid)
             if r is None or r["c"] == 0:
                 continue  # empty cluster keeps its previous centroid
-            cents[cid] = [r[f"s{i}"] // r["c"] for i in range(d)]
-    out = _assign_any(q, cents).select(
-        F.col("vid").alias(id_col), "cluster", "dist_sq"
+            s = r["sums"]
+            cents[cid] = [s[f"s{i}"] // r["c"] for i in range(d)]
+    # r11 (guide §1.2/§3.3): materialize the FINAL assignment while q
+    # is still cached. The returned lineage used to re-run quantize +
+    # assign from the raw scan on every downstream evaluation (the
+    # unpersist below fires before any consumer evaluates), and
+    # multi-branch consumers (semantic dedup joins it twice; the
+    # optimizer also duplicates the assign expression into pushed
+    # join-key null filters — r11 filter audit, 2.9 KB conditions)
+    # paid it once per branch. The assignment is 3 longs/row — the
+    # canonical slim decision relation (guide §8) — so one
+    # materialization replaces every recomputation, and at scale it is
+    # exactly what MLlib's fit/transform split materializes too.
+    out = (
+        _assign_any(q, cents)
+        .select(F.col("vid").alias(id_col), "cluster", "dist_sq")
+        .localCheckpoint(eager=True)
     )
     q.unpersist()
     if _cents_out is not None:

@@ -127,7 +127,17 @@ def semantic_dedup(
         F.col(id_col).alias("vid"), "cluster"
     )
     q = _quantize(vecs, id_col, vec_col, scale)
-    a = assign.join(q, "vid").select("vid", "cluster", "qv")
+    # r11: materialize the (vid, cluster, qv) spine — it fans into
+    # three branches (representatives, group minima, non-reps) and the
+    # optimizer additionally pushed isnotnull(<quantize transform>)
+    # filters below the projection (r11 filter audit), so the quantize
+    # fold ran up to 5× per vector. One slim integer relation replaces
+    # them; the reps self-join above it reuses one exchange.
+    a = (
+        assign.join(q, "vid")
+        .select("vid", "cluster", "qv")
+        .localCheckpoint(eager=True)
+    )
     dist = F.aggregate(
         F.zip_with(F.col("x.qv"), F.col("y.qv"), lambda p, r: (p - r) * (p - r)),
         F.lit(0).cast("long"),

@@ -518,11 +518,17 @@ def jl_project(
     if dim is None:
         head = emb.select(F.size(F.col(vec_col)).alias("d")).head()
         dim = int(head["d"]) if head is not None else 0
-    signs = F.array(
-        *[
-            F.array(*[F.lit(s) for s in row])
+    # One parsed SQL literal, not out_dims*dim F.lit() calls: the
+    # 16x64 sign matrix cost ~2.5 s of driver wall in py4j round-trips
+    # (r11, guide §1.2 driver-side; values and INT element type are
+    # identical).
+    signs = F.expr(
+        "CAST(array("
+        + ",".join(
+            "array(" + ",".join(str(int(s)) for s in row) + ")"
             for row in _jl_sign_matrix(dim, out_dims)
-        ]
+        )
+        + ") AS ARRAY<ARRAY<INT>>)"
     )
     qv = F.transform(
         F.col(vec_col),
@@ -593,19 +599,39 @@ def manifold_embeddings(
                 - MANIFOLD_GRID
             ).cast("double")
             / MANIFOLD_GRID
-        )
+        ).alias(f"__z{j}")
         for j in range(latent)
     ]
-    out = F.array(
-        *[
-            sum(
-                (F.lit(mix[i][j]) * z[j] for j in range(latent)),
-                F.lit(0.0),
+    # r11 (guide §1.2 driver-side): the old mixing build issued
+    # out_dim*latent*3 ≈ 1500 py4j Column calls (~2.5 s of driver wall
+    # per call — the bulk of jl_manifold_capture's jobs-vs-wall gap).
+    # The latent coordinates are BOUND columns (each referenced
+    # out_dim times, so CollapseProject cannot re-inline the md5
+    # hashes), and the mixing matrix enters as ONE parsed expression.
+    # Term order and association are unchanged:
+    # ((0.0 + m_i0*z0) + m_i1*z1) + ... with D-suffixed double
+    # literals that parse to the identical IEEE doubles repr() emits.
+    bound = ids.select(F.col(id_col), *z)
+    out = F.expr(
+        "array("
+        + ",".join(
+            _sum_terms_sql(
+                [f"({mix[i][j]!r}D * __z{j})" for j in range(latent)]
             )
             for i in range(out_dim)
-        ]
+        )
+        + ")"
     )
-    return ids.select(F.col(id_col), out.alias(vec_col))
+    return bound.select(F.col(id_col), out.alias(vec_col))
+
+
+def _sum_terms_sql(terms: list[str]) -> str:
+    """Left-associated ``((0.0 + t0) + t1) + ...`` — the exact fold
+    Python's ``sum(..., F.lit(0.0))`` built, as a SQL string."""
+    acc = "0.0D"
+    for t in terms:
+        acc = f"({acc} + {t})"
+    return acc
 
 
 def _exact_rerank_pairs(
@@ -792,22 +818,113 @@ BROADCAST_SCORE_MAX_BYTES = 256 * 1024 * 1024
 def _unit_vectors(emb, id_col: str, vec_col: str):
     """(id, uv) with uv the L2-normalized double vector; zero-norm →
     NULL uv (ANSI /0 raises), which yields NULL cosine ranked last —
-    degenerate vectors never crash the job."""
-    from udacity_capstone_data_engineering_spark.functions.vectors import l2_norm
+    degenerate vectors never crash the job.
 
-    return emb.select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("__v"),
-    ).select(
-        F.col(id_col),
-        F.col("__v"),
-        l2_norm(F.col("__v")).alias("__n"),  # bound: computed once per row
-    ).select(
-        F.col(id_col),
-        F.when(
-            F.col("__n") > 0,
-            F.transform(F.col("__v"), lambda x: x / F.col("__n")),
-        ).alias("uv"),
+    r11 (guide §4.2/§4.4): the normalize runs as an Arrow kernel
+    instead of the interpreted ``aggregate``+``transform`` fold, and —
+    because every caller filters ``uv IS NOT NULL`` right above this
+    projection — the old expression plan ALSO paid the §4.4 pushdown
+    tax: Catalyst pushed ``isnotnull(<whole normalize expression>)``
+    below the projection, evaluating the l2 fold twice per row (the
+    r11 filter audit flagged a 925-char HOF condition in every ANN
+    plan). ``mapInArrow`` is an optimizer-opaque boundary, so the
+    filter stays above and the normalize runs once. Every consumer is
+    a declared-Arrow ANN path (encode/assign kernels, ADC scans,
+    ``_score_pairs``).
+
+    BIT-IDENTICAL doubles to the JVM expression: sumsq accumulates
+    LEFT-TO-RIGHT per dimension exactly like the ``aggregate`` fold;
+    ``np.sqrt`` and the per-element divide are the same
+    correctly-rounded IEEE ops. Degenerate semantics replicated
+    exactly (pinned by ``test_unit_vectors_kernel_bit_equal``):
+    NULL vector / any NULL element / zero norm → NULL uv; a NaN norm
+    passes the ``when(__n > 0)`` gate (Spark orders NaN greater than
+    every number) so NaN/±inf elements propagate NaN into uv — the
+    output is built with explicit pyarrow buffers because the pandas
+    return path would silently rewrite those NaN elements to nulls."""
+    import numpy as np
+    import pyarrow as pa
+
+    def normalize(batches):
+        for rb in batches:
+            ids = rb.column(0)
+            vecs = rb.column(1)
+            if isinstance(vecs, pa.ChunkedArray):
+                vecs = vecs.combine_chunks()
+            n_rows = len(vecs)
+            out_vals: list = [None] * n_rows
+            live: list = []
+            offs = vecs.offsets.to_numpy(zero_copy_only=False)
+            lens = np.diff(offs)
+            if (
+                vecs.null_count == 0
+                and vecs.values.null_count == 0
+                and n_rows > 0
+                and lens.min(initial=1) == lens.max(initial=1) != 0
+            ):
+                # Fixed-dim, no-null batch (the real corpus shape):
+                # one zero-copy reshape, no per-cell accessor churn.
+                flat_in = vecs.values.to_numpy(zero_copy_only=False)
+                live = [
+                    (p, row)
+                    for p, row in enumerate(
+                        np.asarray(flat_in, dtype=np.float64).reshape(
+                            n_rows, int(lens[0])
+                        )
+                    )
+                ]
+            else:
+                for p in range(n_rows):
+                    cell = vecs[p]
+                    if not cell.is_valid:
+                        continue
+                    a = cell.values.to_numpy(zero_copy_only=False)
+                    if cell.values.null_count or a.shape[0] == 0:
+                        # NULL element → NULL fold → NULL uv; empty →
+                        # norm 0 → NULL uv, as the expression path
+                        continue
+                    live.append((p, np.asarray(a, dtype=np.float64)))
+            by_len: dict[int, list] = {}
+            for p, a in live:
+                by_len.setdefault(a.shape[0], []).append((p, a))
+            for d, rows in by_len.items():
+                x = np.vstack([a for _, a in rows])
+                acc = np.zeros(len(rows))
+                for i in range(d):  # left-to-right, matching the JVM fold
+                    acc = acc + x[:, i] * x[:, i]
+                n = np.sqrt(acc)
+                # when(__n > 0): Spark compares NaN greater than any
+                # number, so NaN norms PASS and propagate NaN elements.
+                ok = (n > 0) | np.isnan(n)
+                u = x / np.where(ok, n, 1.0)[:, None]
+                for r in np.nonzero(ok)[0]:
+                    out_vals[rows[int(r)][0]] = u[int(r)]
+            # Explicit ListArray build: values buffer keeps true NaNs
+            # (pandas' from_pandas path would null them out).
+            offsets = np.zeros(n_rows + 1, dtype=np.int32)
+            for p in range(n_rows):
+                offsets[p + 1] = offsets[p] + (
+                    len(out_vals[p]) if out_vals[p] is not None else 0
+                )
+            flat = (
+                np.concatenate([v for v in out_vals if v is not None])
+                if offsets[-1]
+                else np.zeros(0, dtype=np.float64)
+            )
+            mask = pa.array([v is None for v in out_vals], type=pa.bool_())
+            uv = pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(flat, type=pa.float64()),
+                mask=mask,
+            )
+            yield pa.RecordBatch.from_arrays([ids, uv], ["__id", "uv"])
+
+    id_type = emb.schema[id_col].dataType.simpleString()
+    return (
+        emb.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+        )
+        .mapInArrow(normalize, f"__id {id_type}, uv array<double>")
+        .select(F.col("__id").alias(id_col), "uv")
     )
 
 

@@ -1025,9 +1025,18 @@ def minhash_rows(spark, sf_dir):
     per-row (zero shuffle); the oracle re-derives via unnest+groupBy."""
     docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=16, shingle_k=5)
+    # posexplode_outer, NOT posexplode: the plain generator implies a
+    # (size(signature) > 0 AND signature IS NOT NULL) pruning filter
+    # that Catalyst pushes below the projections and the fan-out
+    # exchange — re-evaluating the whole tokenize+shingle+md5+fold
+    # expression twice more, serially on the pre-exchange scan
+    # (measured 18.6 s vs 0.5 s at sf0.1). The outer generator prunes
+    # nothing; NULL signatures surface as one null-seed row dropped by
+    # a filter on the GENERATED column, which cannot push below the
+    # generate. Rows are identical (pinned in test_round11_opt).
     return sigs.select(
-        "doc_id", F.posexplode("signature").alias("seed", "minhash")
-    )
+        "doc_id", F.posexplode_outer("signature").alias("seed", "minhash")
+    ).filter(F.col("seed").isNotNull())
 
 
 _NEAR_DUP_CTES = f"""sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shset FROM documents),

@@ -63,32 +63,44 @@ def decontam_ngram_overlap(spark, sf_dir):
     doc_id. No pairwise comparison anywhere: cost is corpus-linear
     regardless of benchmark pairing, unlike a doc×doc approach."""
     docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
-    sh = docs.select(
-        "doc_id",
-        F.array_distinct(word_shingles("text", k=5)).alias("shset"),
-    )
     # Grams are hashed to int64 BEFORE the distinct/join shuffles: the
     # 30-60B gram strings are computed and dropped inside the scan
     # stage, and only 8B keys cross the wire (~5-8x less shuffle). The
     # oracle joins the raw strings, so the hash gate doubles as the
     # collision check (2^-64-scale risk, same trade as the
     # fingerprint tier).
+    #
+    # localCheckpoint barrier (r11, guide §1.2/§8): the shingle
+    # relation fans into THREE branches (benchmark grams, corpus
+    # explode, the per-doc output spine) and the explode branches push
+    # their implicit size>0 pruning filters below the projection — the
+    # tokenize+shingle pipeline ran FIVE times per doc (r11 filter
+    # audit: 2×800-char duplicated HOF filter conditions). The barrier
+    # runs it once, and what materializes is the lightweight proxy —
+    # 8-byte gram hashes and the gram count, never the gram strings.
+    sh0 = docs.select(
+        "doc_id",
+        F.array_distinct(word_shingles("text", k=5)).alias("shset"),
+    )
+    sh = sh0.select(
+        "doc_id",
+        F.transform("shset", lambda s: F.xxhash64(s)).alias("hset"),
+        F.size("shset").cast("long").alias("n_grams"),
+    ).localCheckpoint(eager=True)
     bench_grams = (
         sh.filter(F.col("doc_id") % 100 == 0)
-        .select(F.explode("shset").alias("g"))
-        .select(F.xxhash64("g").alias("h"))
+        .select(F.explode("hset").alias("h"))
         .distinct()
     )
     corpus = sh.filter(F.col("doc_id") % 100 != 0)
     hits = (
-        corpus.select("doc_id", F.explode("shset").alias("g"))
-        .select("doc_id", F.xxhash64("g").alias("h"))
+        corpus.select("doc_id", F.explode("hset").alias("h"))
         .join(bench_grams, "h")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
     out = corpus.join(hits, "doc_id", "left").na.fill({"n_overlap": 0})
-    n_grams = F.size("shset").cast("long")
+    n_grams = F.col("n_grams")
     return out.select(
         "doc_id",
         n_grams.alias("n_grams"),
