@@ -410,12 +410,23 @@ def ivf_topk(
         )
     else:
         # ---- past the cap: shuffle-distributed pair-join scan ----
+        from udacity_capstone_data_engineering_spark.sources.catalog import (
+            fan_out_small_scan,
+        )
+
         probe = _probe_cells_udf(centers, nprobe)
         # Persisted when self-serving: both branches below (assignment +
         # probes) read it, and without the persist each branch would
         # re-run the scan + probe UDF. Rows are (id, nprobe ints) —
-        # tiny relative to the vectors.
-        ranked = v.select(
+        # tiny relative to the vectors. Widened BEFORE the persist
+        # (guide §2.5/§2.6): a one-file corpus caches as ONE partition,
+        # and every stage planned on top of the cache — the candidate
+        # explode, the 3M-pair Arrow scoring, the pre-window sort —
+        # inherits that single task no matter how many cores exist
+        # (measured 4.5 s single-task stage at sf0.1/32c; 6.1 s → 1.9 s
+        # after the fan-out). At real scale the scan is already wide
+        # and the fan-out no-ops.
+        ranked = fan_out_small_scan(v).select(
             F.col(id_col), probe(F.col("uv")).alias("__cells")
         ).persist()
         assigned = ranked.select(

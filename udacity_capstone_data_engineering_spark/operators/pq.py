@@ -915,13 +915,12 @@ def ivfpq_topk(
         )
 
         encoded = (
-            fan_out_small_scan(v)
+            fan_out_small_scan(v, n_rows=n)
             .select(
                 F.col(id_col),
                 assign(F.col("uv")).alias("cell"),
                 encode(F.col("uv")).alias("codes"),
             )
-            .orderBy(id_col)
             .toPandas()
         )
         ids = np.asarray(encoded[id_col].to_numpy(), dtype=np.int64)
@@ -931,6 +930,12 @@ def ivfpq_topk(
             if len(encoded)
             else np.zeros((0, m), dtype=np.uint8)
         )
+        # Deterministic layout via a driver-side stable sort instead of
+        # an orderBy: ids are unique, so the order is identical, and the
+        # collect job loses its global sort exchange (guide §2.4 — the
+        # sort only existed to undo the fan-out shuffle's row order).
+        order = np.argsort(ids, kind="stable")
+        ids, cells, codes = ids[order], cells[order], codes[order]
         # the inverted file: per cell, (ids, codes) in id order
         cell_ids, cell_codes = [], []
         for c in range(len(centers)):
@@ -1194,9 +1199,8 @@ def pq_topk(
         )
 
         encoded = (
-            fan_out_small_scan(v)
+            fan_out_small_scan(v, n_rows=n)
             .select(F.col(id_col), encode(F.col("uv")).alias("codes"))
-            .orderBy(id_col)
             .toPandas()
         )
         ids = np.asarray(encoded[id_col].to_numpy(), dtype=np.int64)
@@ -1205,6 +1209,11 @@ def pq_topk(
             if len(encoded)
             else np.zeros((0, m), dtype=np.uint8)
         )
+        # Driver-side stable sort replaces the collect's orderBy: ids
+        # are unique, so the layout is identical and the job drops its
+        # global sort exchange (guide §2.4).
+        order = np.argsort(ids, kind="stable")
+        ids, codes = ids[order], codes[order]
 
         cand = _adc_candidates_udf(emb.sparkSession, books, ids, codes, rerank)
         # widen a narrow scan ahead of the CPU-heavy ADC stage

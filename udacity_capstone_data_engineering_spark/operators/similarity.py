@@ -1659,9 +1659,18 @@ def lsh_topk(
         # Persisted: the self-join reads the bucketed keys from BOTH
         # sides, and without the persist each side re-runs the scan +
         # bucket UDF. Rows are (id, table, rank, bucket) ints — tiny
-        # vs the vectors.
+        # vs the vectors. Widened BEFORE the persist (guide §2.5): a
+        # one-file corpus caches as ONE partition, so the key UDF, the
+        # broadcast build and every stage planned on the cache run as
+        # a single task (measured 2.5 s one-task stage at sf0.1/32c).
+        # At real scale the scan is already wide and this no-ops.
+        from udacity_capstone_data_engineering_spark.sources.catalog import (
+            fan_out_small_scan,
+        )
+
         b = lsh_bucket_keys(
-            emb, vec_col, dim, planes, tables, probes=multiprobe
+            fan_out_small_scan(emb), vec_col, dim, planes, tables,
+            probes=multiprobe,
         ).select(F.col(id_col), "table", "probe_rank", "bucket").persist()
         left = b.select(
             F.col(id_col).alias("query_id"), "table", "bucket"

@@ -97,8 +97,30 @@ def event_timestamp(col="ts"):
     return c.cast("timestamp")
 
 
-def fan_out_small_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+# Known row counts below this skip the fan-out entirely: the
+# round-robin exchange plus ~cores near-empty Arrow batches cost more
+# than running the kernel as one task at this size (measured on the
+# 2k-row PQ encode collect at local[32]: 0.9 s fanned vs 0.4 s plain;
+# a 16k-row single-task encode is still ~0.1 s). Scale-adaptive by
+# construction — the decision derives from the input size, not from
+# the core count, so cluster-sized hosts and the 8-core driver run see
+# the same plan for the same data (guide §2, r12).
+FAN_OUT_MIN_ROWS = 16_384
+
+
+def fan_out_small_scan(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    n_rows: int | None = None,
+) -> DataFrame:
     """Widen a too-narrow scan before a CPU-heavy per-row stage.
+
+    ``n_rows``: the caller's already-known row count (never computed
+    here — no extra job). When provided and under ``FAN_OUT_MIN_ROWS``,
+    the fan-out is skipped: a tiny relation's kernel finishes faster in
+    one task than the repartition shuffle alone costs, and
+    ``df.rdd.getNumPartitions()`` below is itself a non-trivial
+    driver-side plan-to-RDD conversion this short-circuit avoids.
 
     A small input (one parquet file / one row group) scans as ONE task,
     which serializes any expensive map stage behind it (shingling, k-gram
@@ -118,6 +140,8 @@ def fan_out_small_scan(df: DataFrame, min_partitions: int | None = None) -> Data
     never pays the round-robin shuffle (a lone file is never the
     100 TB shape).
     """
+    if n_rows is not None and n_rows < FAN_OUT_MIN_ROWS:
+        return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     n_parts = df.rdd.getNumPartitions()
