@@ -71,3 +71,27 @@ def test_clusters_nontrivial_and_consistent(spark, sf_dir):
     assert used >= 2
     assert out.where(F.col("dist_sq") < 0).count() == 0
     assert out.count() == vecs.count()
+
+
+def test_kmeans_driver_regime_bit_equal(spark, sf_dir, monkeypatch):
+    """r12: under the byte/work caps the whole Lloyd recurrence runs
+    driver-side in numpy int64 (1 collect instead of 2+iterations job
+    barriers). Exact integers make the regimes bit-equal — assignment
+    rows AND final centroids — at both the literal-plan k (4) and the
+    kernel k (32)."""
+    from udacity_capstone_data_engineering_spark.operators import kmeans as km
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    for k in (4, 32):
+        c_driver: list = []
+        c_dist: list = []
+        a = kmeans_int(
+            vecs, "vec_id", "embedding", k=k, _cents_out=c_driver
+        ).collect()
+        monkeypatch.setattr(km, "KMEANS_DRIVER_MAX_BYTES", 0)
+        b = kmeans_int(
+            vecs, "vec_id", "embedding", k=k, _cents_out=c_dist
+        ).collect()
+        monkeypatch.undo()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        assert c_driver == c_dist

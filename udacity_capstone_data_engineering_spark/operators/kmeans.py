@@ -63,6 +63,20 @@ SCALE = 1024
 # plan guard pins.
 ASSIGN_KERNEL_MIN_K = 16
 
+# Driver-Lloyd regime bounds (r12, guide §1.2: the distributed loop is
+# 2+iterations full job barriers — init collect, one agg collect per
+# iteration, the final checkpoint — each ~0.45 s of fixed overhead at
+# bench scale regardless of data volume). Under BOTH caps the quantized
+# matrix collects once and the whole recurrence runs in numpy int64 on
+# the driver. Every quantity is an exact integer (module docstring), so
+# the driver loop is BIT-EQUAL to the distributed one — same init (k
+# smallest vids), same strict-< argmin, same floor-division update,
+# same empty-cluster rule — pinned by
+# test_kmeans_driver_regime_bit_equal. Past either cap (the 100 TB
+# shape) the distributed loop runs unchanged.
+KMEANS_DRIVER_MAX_BYTES = 64 * 1024 * 1024  # collected n x d int64 matrix
+KMEANS_DRIVER_MAX_WORK = 256_000_000  # n*k*d int ops per assign pass
+
 
 def _quantize(vecs: DataFrame, id_col: str, vec_col: str, scale: int) -> DataFrame:
     return vecs.select(
@@ -178,6 +192,68 @@ def _assign_any(
     return _assign(q, cents)
 
 
+def _lloyd_driver(ids, mat, k, iterations):
+    """The exact-integer Lloyd recurrence over a collected int64
+    matrix: same init (quantized vectors of the k smallest vids), same
+    strict-< argmin (``np.argmin`` returns the FIRST minimum), same
+    ``//`` floor-division update (numpy int64 floor_divide == Python
+    ``//``), same empty-cluster keep rule. int64 throughout — exact,
+    so bit-equal to the distributed loop by construction. Returns
+    ``(cents, labels, dist_sq)``."""
+    import numpy as np
+
+    order = np.argsort(ids, kind="stable")
+    cents = mat[order[:k]].copy()  # (k, d) int64
+
+    def assign(c):
+        # expanded squared L2, all int64 (bounds per module docstring)
+        d2 = (
+            (mat * mat).sum(axis=1, keepdims=True)
+            - 2 * (mat @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        lab = d2.argmin(axis=1)
+        return lab, d2[np.arange(len(mat)), lab]
+
+    for _ in range(iterations):
+        lab, _d = assign(cents)
+        counts = np.bincount(lab, minlength=len(cents))
+        sums = np.zeros_like(cents)
+        np.add.at(sums, lab, mat)
+        nonempty = counts > 0
+        cents[nonempty] = sums[nonempty] // counts[nonempty, None]
+    lab, dist = assign(cents)
+    return cents, lab, dist
+
+
+def _collect_quantized(q: DataFrame, max_rows: int):
+    """``(ids, int64 matrix)`` from the quantized relation iff it has
+    at most ``max_rows`` rows and a clean rectangular no-null layout;
+    ``None`` otherwise (the caller takes the distributed loop). The
+    LIMIT enforces the cap without a count job — at 100 TB the scan
+    stops after the first partitions."""
+    import numpy as np
+
+    pdf = q.limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
+        return None
+    if pdf["qv"].isna().any():
+        return None
+    try:
+        mat = np.vstack(pdf["qv"].to_numpy())
+    except ValueError:  # ragged rows
+        return None
+    if mat.dtype != np.int64:  # null elements surface as object/float
+        return None
+    try:
+        ids = pdf["vid"].to_numpy(dtype=np.int64)
+    except (ValueError, TypeError):  # non-integral id column
+        return None
+    if pdf["vid"].isna().any():
+        return None
+    return ids, mat
+
+
 def kmeans_int(
     vecs: DataFrame,
     id_col: str,
@@ -195,6 +271,42 @@ def kmeans_int(
     from udacity_capstone_data_engineering_spark.sources.catalog import (
         fan_out_small_scan,
     )
+
+    # ---- driver regime (r12): under the byte cap, collect the
+    # quantized matrix once and run the whole recurrence in numpy
+    # int64 — bit-equal (exact integers), and 1 job instead of
+    # 2 + iterations job barriers. The work gate keeps a big-k fit
+    # off the driver even when the matrix fits.
+    head = vecs.select(F.size(F.col(vec_col)).alias("d")).head()
+    d_probe = int(head["d"]) if head is not None and head["d"] is not None else 0
+    if d_probe:
+        max_rows = min(
+            KMEANS_DRIVER_MAX_BYTES // (8 * d_probe),
+            KMEANS_DRIVER_MAX_WORK // max(1, k * d_probe),
+        )
+        local = _collect_quantized(
+            _quantize(vecs, id_col, vec_col, scale), max_rows
+        )
+        if local is not None:
+            from udacity_capstone_data_engineering_spark.session import (
+                local_df,
+            )
+
+            ids, mat = local
+            cents, lab, dist = _lloyd_driver(ids, mat, k, iterations)
+            if _cents_out is not None:
+                _cents_out.extend([list(map(int, c)) for c in cents])
+            return local_df(
+                vecs.sparkSession,
+                list(
+                    zip(
+                        ids.tolist(),
+                        [int(x) for x in lab],
+                        dist.tolist(),
+                    )
+                ),
+                f"{id_col} long, cluster int, dist_sq long",
+            )
 
     # Widen a too-narrow scan BEFORE persisting: a one-file corpus
     # otherwise serializes every assign kernel on a single worker —
